@@ -1,0 +1,119 @@
+"""Quantization spec + named presets (the reference's quantization-mode zoo).
+
+Reference flag surface: ``--quantization-mode int4/int3/fp4 --quantization-sym
+--quantization-storage-nbit 32/16/8`` (/root/reference/build.py:19-25), with
+group size 40 for 3-bit else 32 (/root/reference/build.py:113-119).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantSpec:
+    """Static description of a group-quant format.
+
+    mode: "int4" | "int3" | "fp4" | "int8" | "none"
+    group_size: group length along the reduction (k) axis
+    sym: symmetric (absmax) vs asymmetric (min/max) scaling
+    storage: "u4" (native uint4 plane), "u32"/"u16" (bit-packed words),
+             "i8" (int8 plane), "raw" (unquantized)
+    dtype: compute dtype name ("bfloat16" | "float16" | "float32")
+    """
+
+    mode: str = "int4"
+    group_size: int = 32
+    sym: bool = False
+    storage: str = "u4"
+    dtype: str = "bfloat16"
+
+    def __post_init__(self):
+        if self.mode == "none":
+            return
+        if self.mode == "int3" and not self.sym:
+            # int3 requires sym, as in the reference
+            # (/root/reference/mlc_llm/transform/quantization.py:284-287).
+            raise ValueError("int3 quantization requires sym=True")
+        if self.mode == "fp4" and not self.sym:
+            raise ValueError("fp4 quantization requires sym=True")
+        valid_storage = {
+            "int4": ("u4", "u32"),
+            "int3": ("u32", "u16"),
+            "fp4": ("u4", "u32"),
+            "int8": ("i8",),
+        }
+        if self.mode not in valid_storage:
+            raise ValueError(f"unknown quantization mode {self.mode!r}")
+        if self.storage not in valid_storage[self.mode]:
+            raise ValueError(
+                f"storage {self.storage!r} invalid for mode {self.mode!r}"
+            )
+
+    @property
+    def nbit(self) -> int:
+        return {"int4": 4, "int3": 3, "fp4": 4, "int8": 8, "none": 16}[self.mode]
+
+    @property
+    def max_int(self) -> int:
+        """Symmetric-mode integer ceiling, 2^(n-1)-1."""
+        return (1 << (self.nbit - 1)) - 1
+
+    @property
+    def elems_per_word(self) -> int:
+        """Packed values per storage word (u32/u16 storage only)."""
+        word_bits = {"u32": 32, "u16": 16}[self.storage]
+        return word_bits // self.nbit
+
+    @property
+    def is_quantized(self) -> bool:
+        return self.mode != "none"
+
+    @property
+    def bits_per_weight(self) -> float:
+        """Effective storage bits per weight incl. padding waste + scales."""
+        if not self.is_quantized:
+            return 16.0
+        if self.storage == "u4":
+            data_bits = 4.0
+        elif self.storage == "i8":
+            data_bits = 8.0
+        else:
+            word_bits = {"u32": 32, "u16": 16}[self.storage]
+            data_bits = word_bits / self.elems_per_word
+        scale_bits = 16.0 / self.group_size * (1 if self.sym else 2)
+        return data_bits + scale_bits
+
+
+# Preset names follow the reference's qXfYY naming (q4f16 = int4 asym
+# group-32 at fp16 compute). bf16 variants are the TPU-preferred defaults.
+QUANT_PRESETS = {
+    "q4f16": QuantSpec("int4", 32, False, "u4", "float16"),
+    "q4bf16": QuantSpec("int4", 32, False, "u4", "bfloat16"),
+    "q4f32": QuantSpec("int4", 32, False, "u4", "float32"),
+    "q4f16_sym": QuantSpec("int4", 32, True, "u4", "float16"),
+    "q4bf16_sym": QuantSpec("int4", 32, True, "u4", "bfloat16"),
+    "q3f16": QuantSpec("int3", 40, True, "u32", "float16"),
+    "q3bf16": QuantSpec("int3", 40, True, "u32", "bfloat16"),
+    "fp4f16": QuantSpec("fp4", 32, True, "u4", "float16"),
+    "fp4bf16": QuantSpec("fp4", 32, True, "u4", "bfloat16"),
+    "q8f16": QuantSpec("int8", 32, True, "i8", "float16"),
+    "q8bf16": QuantSpec("int8", 32, True, "i8", "bfloat16"),
+    "f16": QuantSpec("none", 0, True, "raw", "float16"),
+    "bf16": QuantSpec("none", 0, True, "raw", "bfloat16"),
+    "f32": QuantSpec("none", 0, True, "raw", "float32"),
+}
+
+
+def resolve_spec(spec) -> QuantSpec:
+    if isinstance(spec, QuantSpec):
+        return spec
+    if isinstance(spec, str):
+        try:
+            return QUANT_PRESETS[spec]
+        except KeyError:
+            raise ValueError(
+                f"unknown quantization preset {spec!r}; "
+                f"known: {sorted(QUANT_PRESETS)}"
+            ) from None
+    raise TypeError(f"cannot resolve quantization spec from {type(spec)}")

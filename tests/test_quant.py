@@ -1,0 +1,123 @@
+"""Quantization round-trip + format tests.
+
+Mirrors the smallest-testable-unit strategy of SURVEY.md §7.2 step 1;
+the error bounds follow from the formats themselves (the reference only
+ever asserts kernel-level atol 1e-2 / rtol 1e-3,
+/root/reference/tests/debug/compare_lib.py:26-27).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlc_llm_tpu.quant import (
+    QUANT_PRESETS,
+    QuantSpec,
+    dequantize,
+    quantize,
+    resolve_spec,
+    take_dequantize,
+)
+
+
+def _rand(k, n, seed=0, scale=0.02):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal((k, n)) * scale).astype(np.float32)
+
+
+QUANT_NAMES = [name for name, s in QUANT_PRESETS.items() if s.is_quantized]
+
+
+@pytest.mark.parametrize("name", QUANT_NAMES)
+def test_round_trip_error_bound(name):
+    spec = resolve_spec(name)
+    w = _rand(256 if spec.group_size != 40 else 240, 64)
+    qt = quantize(w, spec)
+    back = np.asarray(dequantize(qt, jnp.float32))
+    assert back.shape == w.shape
+    # quantization step bound: |w - dq| <= scale/2 (+ dtype rounding slop)
+    gs = spec.group_size
+    ngroups = w.shape[0] // gs
+    wg = w.reshape(ngroups, gs, -1)
+    if spec.mode == "fp4":
+        # e3m0: relative spacing is a factor of 2 -> |err| <= absmax/2 crude
+        absmax = np.abs(wg).max(axis=1, keepdims=True)
+        bound = np.broadcast_to(absmax, wg.shape).reshape(w.shape) * 0.5 + 1e-6
+    else:
+        if spec.sym:
+            step = np.maximum(np.abs(wg).max(axis=1, keepdims=True), 1e-4) / spec.max_int
+        else:
+            step = (wg.max(axis=1, keepdims=True) - wg.min(axis=1, keepdims=True)) / (
+                2**spec.nbit - 1
+            )
+        bound = np.broadcast_to(step, wg.shape).reshape(w.shape) * 0.51 + 2e-4
+    assert np.all(np.abs(w - back) <= bound), np.abs(w - back).max()
+
+
+def test_int4_asym_exact_codes():
+    # values that land exactly on the grid must round-trip exactly
+    spec = QuantSpec("int4", 32, False, "u4", "float32")
+    w = np.tile(np.arange(16, dtype=np.float32), 2)[:, None] * np.ones((1, 4), np.float32)
+    qt = quantize(w, spec)
+    back = np.asarray(dequantize(qt))
+    np.testing.assert_allclose(back, w, atol=1e-5)
+
+
+def test_int3_padding_non_divisible_k():
+    # k=100 is not a multiple of group 40 -> padded to 120 internally
+    spec = resolve_spec("q3f16")
+    w = _rand(100, 32)
+    qt = quantize(w, spec)
+    back = np.asarray(dequantize(qt, jnp.float32))
+    assert back.shape == (100, 32)
+    err = np.abs(w - back)
+    assert err.max() < 0.02  # 3-bit on 0.02-std data
+
+
+def test_sym_matches_reference_offset_representation():
+    # sym int4: code = round(w/scale) + 7 in [0, 14]
+    spec = QuantSpec("int4", 32, True, "u4", "float32")
+    w = np.linspace(-1, 1, 32, dtype=np.float32)[:, None] * np.ones((1, 8), np.float32)
+    qt = quantize(w, spec)
+    codes = np.asarray(qt.data.astype(jnp.int32))
+    assert codes.min() >= 0 and codes.max() <= 14
+
+
+def test_fp4_code_values():
+    # fp4 decodes to ±2^(e-7)·scale; scale = absmax so max magnitude
+    # round-trips exactly, as do exact powers of two below it
+    spec = QuantSpec("fp4", 32, True, "u4", "float32")
+    col = np.zeros((32,), np.float32)
+    col[:8] = [1.0, 0.5, 0.25, -1.0, -0.5, 0.0, 0.125, -0.25]
+    w = np.tile(col[:, None], (1, 4))
+    qt = quantize(w, spec)
+    back = np.asarray(dequantize(qt))
+    np.testing.assert_allclose(back[:8, 0], col[:8], atol=1e-6)
+
+
+def test_take_dequantize_matches_full_decode():
+    spec = resolve_spec("q4bf16")
+    vocab, hidden = 96, 64
+    emb = _rand(hidden, vocab, seed=3)  # stored transposed [hidden, vocab]
+    qt = quantize(emb, spec)
+    ids = jnp.array([[0, 5, 95], [7, 7, 1]], dtype=jnp.int32)
+    got = np.asarray(take_dequantize(qt, ids, jnp.float32))
+    full = np.asarray(dequantize(qt, jnp.float32))  # [hidden, vocab]
+    want = full.T[np.asarray(ids)]
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_quantized_nbytes_accounting():
+    spec = resolve_spec("q4bf16")
+    qt = quantize(_rand(128, 256), spec)
+    # 128*256 nibbles = 16384 B data + scales/zeros 2*(4*256)*2 B
+    assert qt.nbytes() == 128 * 256 // 2 + 2 * 4 * 256 * 2
+
+
+def test_spec_validation():
+    with pytest.raises(ValueError):
+        QuantSpec("int3", 40, False, "u32")
+    with pytest.raises(ValueError):
+        QuantSpec("int4", 32, False, "u16")
+    with pytest.raises(ValueError):
+        resolve_spec("nope")
