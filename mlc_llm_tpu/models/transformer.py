@@ -1,0 +1,291 @@
+"""Generic pre-norm decoder with static-shape KV cache, scan over layers.
+
+One parameterized forward covers Llama, GPT-NeoX, and MOSS (the
+reference builds three separate Relax graphs: llama.py:548-611,
+gpt_neox.py:511-595, moss.py:478-565 — the math here is the same,
+re-expressed TPU-first):
+
+- layer params are STACKED along a leading L axis and the layer loop is
+  a lax.scan — one layer gets traced/compiled, not num_layers
+- the KV cache is a preallocated [L, B, H, Smax, D] buffer pair updated
+  with per-sequence dynamic_update_slice (replacing the reference's
+  growable vm.builtin.attention_kv_cache_* runtime objects)
+- prefill and decode are the same function at different static S
+  (the engine buckets prefill lengths; decode is S=1)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import attend
+from ..ops.matmul import qmatmul
+from ..quant.groupwise import QuantizedTensor, quantize, take_dequantize
+from ..quant.spec import QuantSpec, resolve_spec
+from .config import ModelConfig
+from .layers import activate, apply_rotary, layer_norm, make_rotary_tables, rms_norm
+
+Array = jax.Array
+Params = Dict[str, Any]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    """k/v: [L, B, Hkv, Smax, D]; lengths: [B] valid token count per slot."""
+
+    k: Array
+    v: Array
+    lengths: Array
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def batch(self) -> int:
+        return self.k.shape[1]
+
+
+def init_kv_cache(
+    cfg: ModelConfig, batch: int, max_len: Optional[int] = None, dtype=jnp.bfloat16
+) -> KVCache:
+    max_len = max_len or cfg.max_seq_len
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        lengths=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def _norm(x, w, b, cfg: ModelConfig):
+    if cfg.norm_type == "rmsnorm":
+        return rms_norm(x, w, cfg.norm_eps)
+    return layer_norm(x, w, b, cfg.norm_eps)
+
+
+def _write_cache(cache_l: Array, new: Array, start: Array) -> Array:
+    """cache_l: [B, H, Smax, D]; new: [B, H, S, D]; start: [B]."""
+
+    def upd(c, n, s):
+        return jax.lax.dynamic_update_slice(c, n, (0, s, 0))
+
+    return jax.vmap(upd)(cache_l, new, start)
+
+
+def _layer(
+    h: Array,
+    lp: Params,
+    kc: Array,
+    vc: Array,
+    cfg: ModelConfig,
+    rot_cos: Array,
+    rot_sin: Array,
+    positions: Array,
+    start: Array,
+) -> Tuple[Array, Array, Array]:
+    B, S, H = h.shape
+    nh, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    if cfg.single_norm:
+        hin = _norm(h, lp["ln1_w"], lp.get("ln1_b"), cfg)
+        h_attn_in = h_mlp_in = hin
+    else:
+        h_attn_in = _norm(h, lp["ln1_w"], lp.get("ln1_b"), cfg)
+        if cfg.parallel_residual:
+            h_mlp_in = _norm(h, lp["ln2_w"], lp.get("ln2_b"), cfg)
+
+    qkv = qmatmul(h_attn_in, lp["wqkv"], lp.get("bqkv"))
+    q, k, v = jnp.split(qkv, [nh * d, nh * d + nkv * d], axis=-1)
+    q = q.reshape(B, S, nh, d)
+    k = k.reshape(B, S, nkv, d)
+    v = v.reshape(B, S, nkv, d)
+
+    q = apply_rotary(q, rot_cos, rot_sin, positions, cfg.rotary_style)
+    k = apply_rotary(k, rot_cos, rot_sin, positions, cfg.rotary_style)
+
+    # [B, S, H, D] -> [B, H, S, D]
+    k_bhsd = k.transpose(0, 2, 1, 3).astype(kc.dtype)
+    v_bhsd = v.transpose(0, 2, 1, 3).astype(vc.dtype)
+    kc = _write_cache(kc, k_bhsd, start)
+    vc = _write_cache(vc, v_bhsd, start)
+
+    attn = attend(q.transpose(0, 2, 1, 3), kc.astype(q.dtype), vc.astype(q.dtype), start)
+    attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nh * d)
+    attn_out = qmatmul(attn, lp["wo"], lp.get("bo"))
+
+    if cfg.parallel_residual or cfg.single_norm:
+        pass  # mlp reads its own norm of the ORIGINAL h
+    else:
+        h = h + attn_out
+        h_mlp_in = _norm(h, lp["ln2_w"], lp.get("ln2_b"), cfg)
+
+    if cfg.act == "silu_gated":
+        gate_up = qmatmul(h_mlp_in, lp["w_in"], lp.get("b_in"))
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+        mid = jax.nn.silu(gate) * up
+    else:
+        mid = activate(qmatmul(h_mlp_in, lp["w_in"], lp.get("b_in")), cfg.act)
+    mlp_out = qmatmul(mid, lp["w_out"], lp.get("b_out"))
+
+    if cfg.parallel_residual or cfg.single_norm:
+        h = h + attn_out + mlp_out
+    else:
+        h = h + mlp_out
+    return h, kc, vc
+
+
+def forward(
+    params: Params,
+    cfg: ModelConfig,
+    tokens: Array,
+    cache: KVCache,
+    *,
+    last_only: bool = True,
+) -> Tuple[Array, KVCache]:
+    """Run the decoder over a token block appended at each slot's length.
+
+    tokens: [B, S] int32 (S static: a prefill bucket or 1 for decode).
+    Returns (logits fp32 [B, V] if last_only else [B, S, V], new cache).
+    The caller is responsible for masking padded slots.
+    """
+    B, S = tokens.shape
+    start = cache.lengths
+    positions = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+    positions = jnp.minimum(positions, cache.max_len - 1)
+
+    emb = params["embed"]["w"]
+    if isinstance(emb, QuantizedTensor):
+        # stored [H, V]; gather+dequant columns -> [B, S, H] in spec dtype
+        h = take_dequantize(emb, tokens)
+    else:
+        h = emb[tokens]
+
+    rot_cos, rot_sin = params["rotary"]["cos"], params["rotary"]["sin"]
+
+    def body(carry, xs):
+        hh = carry
+        lp, kc, vc = xs
+        hh, kc, vc = _layer(hh, lp, kc, vc, cfg, rot_cos, rot_sin, positions, start)
+        return hh, (kc, vc)
+
+    h, (k_new, v_new) = jax.lax.scan(body, h, (params["layers"], cache.k, cache.v))
+
+    h = _norm(h, params["final_ln"]["w"], params["final_ln"].get("b"), cfg)
+    if last_only:
+        h = h[:, -1:, :]  # lm head on last position only (llama.py:532-541)
+
+    lm = params["lm_head"]
+    if cfg.fp32_lm_head:
+        h = h.astype(jnp.float32)
+    logits = qmatmul(h, lm["w"], lm.get("b"), out_dtype=jnp.float32)
+    logits = logits.astype(jnp.float32)
+    if last_only:
+        logits = logits[:, 0, :]
+
+    new_cache = KVCache(k=k_new, v=v_new, lengths=cache.lengths + S)
+    return logits, new_cache
+
+
+# ---------------------------------------------------------------------------
+# Parameter construction
+
+
+def _maybe_quant(w: Array, spec: QuantSpec, key_scale=None):
+    if spec.is_quantized:
+        return quantize(w, spec)
+    return w.astype(jnp.dtype(spec.dtype))
+
+
+def _stack_layers(layer_list):
+    """Stack a list of per-layer param dicts along a new leading axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *layer_list)
+
+
+def init_random_params(
+    cfg: ModelConfig,
+    quant,
+    seed: int = 0,
+    scale: float = 0.02,
+) -> Params:
+    """Random-weight params (tests / benchmarks; no network access).
+
+    Weight layout is [k, n] everywhere (reduction-major), matching the
+    quant core; the embedding is stored transposed [H, V] when
+    quantized so gather+dequant reads columns.
+    """
+    spec = resolve_spec(quant)
+    dtype = jnp.dtype(spec.dtype)
+    H, F, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    nh, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    key = jax.random.PRNGKey(seed)
+
+    def nxt():
+        nonlocal key
+        key, sub = jax.random.split(key)
+        return sub
+
+    def randw(k, n):
+        return jax.random.normal(nxt(), (k, n), jnp.float32) * scale
+
+    gated = cfg.act == "silu_gated"
+    layers = []
+    for _ in range(cfg.num_layers):
+        lp: Params = {
+            "ln1_w": jnp.ones((H,), dtype),
+            "wqkv": _maybe_quant(randw(H, (nh + 2 * nkv) * d), spec),
+            "wo": _maybe_quant(randw(nh * d, H), spec),
+            "w_in": _maybe_quant(randw(H, 2 * F if gated else F), spec),
+            "w_out": _maybe_quant(randw(F, H), spec),
+        }
+        if cfg.norm_type == "layernorm":
+            lp["ln1_b"] = jnp.zeros((H,), dtype)
+        if not cfg.single_norm:
+            lp["ln2_w"] = jnp.ones((H,), dtype)
+            if cfg.norm_type == "layernorm":
+                lp["ln2_b"] = jnp.zeros((H,), dtype)
+        if cfg.qkv_bias:
+            lp["bqkv"] = jnp.zeros(((nh + 2 * nkv) * d,), dtype)
+        if cfg.out_bias:
+            lp["bo"] = jnp.zeros((H,), dtype)
+        if cfg.mlp_bias:
+            lp["b_in"] = jnp.zeros((2 * F if gated else F,), dtype)
+            lp["b_out"] = jnp.zeros((H,), dtype)
+        layers.append(lp)
+
+    cos, sin = make_rotary_tables(
+        d, cfg.rotary_pct, cfg.rotary_base, cfg.max_seq_len, cfg.rotary_style
+    )
+
+    params: Params = {
+        "embed": {
+            "w": quantize(randw(H, V), spec)
+            if spec.is_quantized
+            else randw(V, H).astype(dtype)
+        },
+        "layers": _stack_layers(layers),
+        "final_ln": {"w": jnp.ones((H,), dtype)},
+        "lm_head": {
+            "w": _maybe_quant(
+                randw(H, V),
+                spec
+                if not cfg.fp32_lm_head
+                else dataclasses.replace(spec, dtype="float32")
+                if spec.is_quantized
+                else resolve_spec("f32"),
+            )
+        },
+        "rotary": {"cos": cos, "sin": sin},
+    }
+    if cfg.norm_type == "layernorm":
+        params["final_ln"]["b"] = jnp.zeros((H,), dtype)
+    if cfg.lm_head_bias:
+        params["lm_head"]["b"] = jnp.zeros(
+            (V,), jnp.float32 if cfg.fp32_lm_head else dtype
+        )
+    return params

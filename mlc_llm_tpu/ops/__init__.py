@@ -1,0 +1,49 @@
+"""Compute ops: quantized matmul, attention, sampling.
+
+Every op has a pure-jnp reference path (always correct, any backend) and
+a Pallas TPU kernel path for the hot cases, selected via `kernel_mode`:
+
+- "auto": Pallas on TPU when the shape/format is supported, else jnp
+- "jnp":  always the jnp fallback
+- "pallas": force Pallas (errors if unsupported) — used by kernel tests
+"""
+
+import os
+from contextlib import contextmanager
+
+_KERNEL_MODE = os.environ.get("MLC_TPU_KERNELS", "auto")
+
+
+def kernel_mode() -> str:
+    return _KERNEL_MODE
+
+
+def set_kernel_mode(mode: str) -> None:
+    global _KERNEL_MODE
+    assert mode in ("auto", "jnp", "pallas"), mode
+    _KERNEL_MODE = mode
+
+
+@contextmanager
+def use_kernels(mode: str):
+    prev = kernel_mode()
+    set_kernel_mode(mode)
+    try:
+        yield
+    finally:
+        set_kernel_mode(prev)
+
+
+from .matmul import qmatmul  # noqa: E402
+from .attention import attend  # noqa: E402
+from .sampling import sample_token, sample_top_p  # noqa: E402
+
+__all__ = [
+    "kernel_mode",
+    "set_kernel_mode",
+    "use_kernels",
+    "qmatmul",
+    "attend",
+    "sample_token",
+    "sample_top_p",
+]

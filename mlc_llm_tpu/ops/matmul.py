@@ -1,0 +1,59 @@
+"""Quantized matmul: y = x @ W (+ bias), W dense or group-quantized.
+
+Replaces the reference's FuseDecodeMatmulEwise + hand-scheduled TIR
+gemv kernels (/root/reference/mlc_llm/transform/decode_matmul_ewise.py,
+/root/reference/mlc_llm/dispatch/llama/main.py) with: XLA fusion of the
+dequant epilogue in the jnp path, and fused dequant-matmul Pallas
+kernels on TPU (ops/pallas/).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..quant.groupwise import QuantizedTensor, dequantize
+
+Array = jax.Array
+
+
+def _supported_by_pallas(w: QuantizedTensor) -> bool:
+    from . import pallas as _p
+
+    return _p.dequant_matmul_supported(w)
+
+
+def qmatmul(
+    x: Array,
+    w: Union[Array, QuantizedTensor],
+    bias: Optional[Array] = None,
+    out_dtype=None,
+) -> Array:
+    """x: [..., k]; w: [k, n] (dense array or QuantizedTensor); returns [..., n]."""
+    from . import kernel_mode
+
+    if isinstance(w, QuantizedTensor):
+        mode = kernel_mode()
+        use_pallas = mode == "pallas" or (
+            mode == "auto"
+            and jax.default_backend() not in ("cpu",)
+            and _supported_by_pallas(w)
+        )
+        if use_pallas:
+            from .pallas import dequant_matmul
+
+            y = dequant_matmul(x, w, out_dtype=out_dtype)
+        else:
+            wd = dequantize(w, dtype=x.dtype)
+            y = jnp.matmul(x, wd, preferred_element_type=out_dtype)
+            if out_dtype is not None:
+                y = y.astype(out_dtype)
+    else:
+        y = jnp.matmul(x, w.astype(x.dtype) if w.dtype != x.dtype else w)
+        if out_dtype is not None:
+            y = y.astype(out_dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y

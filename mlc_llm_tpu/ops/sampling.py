@@ -1,0 +1,73 @@
+"""On-device sampling: temperature softmax + nucleus (top-p) / top-k.
+
+Replaces the reference's CPU sampler round-trip
+(vm.builtin sample_top_p_from_{prob,logits}, used at
+/root/reference/cpp/llm_chat.cc:848-855,963-975, which copies the full
+vocab logits device->host every token). Here sampling runs on the
+accelerator and only the token id leaves the device.
+
+Greedy cutoff matches the runtime: temperature < 1e-6 => argmax
+(/root/reference/cpp/llm_chat.cc:666-671,930-936).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def sample_top_p(
+    logits: Array,
+    key: Array,
+    temperature: Array | float,
+    top_p: Array | float,
+) -> Array:
+    """Nucleus sampling. logits: [B, V] fp32; returns [B] int32.
+
+    Keeps the smallest prefix of the descending-prob distribution whose
+    cumulative mass reaches top_p (the token that crosses the threshold
+    is kept), renormalizes, samples.
+    """
+    logits = logits.astype(jnp.float32)
+    temperature = jnp.asarray(temperature, jnp.float32)
+    scaled = logits / jnp.maximum(temperature, 1e-6)
+    probs = jax.nn.softmax(scaled, axis=-1)
+
+    sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]  # descending
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    # keep tokens where the mass BEFORE them is < top_p
+    keep_sorted = (cum - sorted_probs) < jnp.asarray(top_p, jnp.float32)
+    # threshold prob: smallest kept probability per row
+    thresh = jnp.min(
+        jnp.where(keep_sorted, sorted_probs, jnp.inf), axis=-1, keepdims=True
+    )
+    masked = jnp.where(probs >= thresh, scaled, -jnp.inf)
+    return jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
+
+
+def sample_token(
+    logits: Array,
+    key: Array,
+    temperature: Array | float = 0.7,
+    top_p: Array | float = 0.95,
+    greedy: Optional[bool] = None,
+) -> Array:
+    """Temperature/top-p sample with the reference's greedy cutoff.
+
+    `greedy` must be a Python bool (trace-time branch) when given;
+    otherwise temperature < 1e-6 selects argmax via lax.cond-free
+    select (both branches are cheap).
+    """
+    logits = logits.astype(jnp.float32)
+    argmax = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if greedy is True:
+        return argmax
+    sampled = sample_top_p(logits, key, temperature, top_p)
+    if greedy is False:
+        return sampled
+    t = jnp.asarray(temperature, jnp.float32)
+    return jnp.where(t < 1e-6, argmax, sampled)
