@@ -1,0 +1,154 @@
+"""Headline benchmark: Vicuna-7B q4bf16 batch-1 decode tok/s on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N, ...}
+
+vs_baseline is measured tok/s divided by the BASELINE.md target
+(90% of the per-chip HBM-bandwidth roofline, where roofline =
+HBM_BW / bytes-read-per-decode-token: packed weights + scales + KV).
+
+Timing methodology: the tunneled TPU platform in this environment has
+~28 ms host<->device RTT and a block_until_ready that does not wait, so
+the decode loop runs ON DEVICE via lax.scan and throughput is computed
+from the time difference between a long and a short scan (cancels the
+fixed RTT + dispatch overhead). TTFT is RTT-corrected.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# v5e per-chip HBM bandwidth (public spec: 819 GB/s)
+HBM_BW = 819e9
+
+
+def _tree_device_bytes(tree) -> int:
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "dtype"):
+            if leaf.dtype in (jnp.uint4, jnp.int4):
+                total += leaf.size // 2
+            else:
+                total += leaf.size * leaf.dtype.itemsize
+    return total
+
+
+def _readback(x) -> float:
+    return float(jnp.asarray(x).reshape(-1)[0])
+
+
+def main():
+    from functools import partial
+
+    from mlc_llm_tpu.models import (
+        forward,
+        get_config,
+        init_kv_cache,
+        init_random_params,
+    )
+    from mlc_llm_tpu.ops.sampling import sample_token
+
+    backend = jax.default_backend()
+    on_cpu = backend == "cpu"
+    cfg = get_config("vicuna-v1-7b")
+    context_len = 128
+    n_short, n_long = 8, 72
+    if on_cpu:
+        cfg = cfg.replace(num_layers=2, max_seq_len=256)
+        n_short, n_long = 2, 6
+
+    params = init_random_params(cfg, "q4bf16", seed=0, fabricate=True)
+    max_len = min(cfg.max_seq_len, 2048)
+    cache = init_kv_cache(cfg, batch=1, max_len=max_len)
+
+    # measure tunnel RTT with a trivial program
+    triv = jax.jit(lambda x: x + 1)
+    _readback(triv(jnp.float32(0)))
+    t0 = time.perf_counter()
+    for i in range(3):
+        _readback(triv(jnp.float32(i)))
+    rtt = (time.perf_counter() - t0) / 3
+
+    @partial(jax.jit, static_argnames=("last_only",))
+    def prefill(params, tokens, seq_lens, cache, last_only=True):
+        return forward(params, cfg, tokens, cache, seq_lens=seq_lens, last_only=last_only)
+
+    @partial(jax.jit, donate_argnames=("cache",), static_argnames=("n",))
+    def decode_n(params, tok, cache, key, n):
+        def body(carry, _):
+            tok, cache, key = carry
+            logits, cache = forward(params, cfg, tok, cache, last_only=True)
+            key, sub = jax.random.split(key)
+            nxt = sample_token(logits, sub, 0.7, 0.95)
+            return (nxt[:, None], cache, key), nxt
+
+        (tok, cache, key), toks = jax.lax.scan(
+            body, (tok, cache, key), None, length=n
+        )
+        return tok, cache, toks
+
+    prompt = jnp.asarray(
+        np.random.default_rng(0).integers(10, 1000, size=(1, context_len)), jnp.int32
+    )
+    seq_lens = jnp.full((1,), context_len, jnp.int32)
+
+    # --- TTFT: prefill + first sampled token, RTT-corrected ----------------
+    logits, cache = prefill(params, prompt, seq_lens, cache)  # compile
+    tok0 = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+    _readback(tok0)
+    cache = init_kv_cache(cfg, batch=1, max_len=max_len)
+    t0 = time.perf_counter()
+    logits, cache = prefill(params, prompt, seq_lens, cache)
+    first = sample_token(logits, jax.random.PRNGKey(1), 0.0, 1.0, greedy=True)
+    _readback(first)
+    ttft_ms = (time.perf_counter() - t0 - rtt) * 1e3
+
+    # --- decode throughput: long-minus-short on-device scans ---------------
+    key = jax.random.PRNGKey(0)
+    tok = first[:, None]
+
+    def timed(n):
+        nonlocal cache
+        # compile pass
+        _, cache, _ = decode_n(params, tok, cache, key, n)
+        t0 = time.perf_counter()
+        out_tok, cache, _ = decode_n(params, tok, cache, key, n)
+        _readback(out_tok)
+        return time.perf_counter() - t0
+
+    t_short = timed(n_short)
+    t_long = timed(n_long)
+    per_step = (t_long - t_short) / (n_long - n_short)
+    tok_s = 1.0 / per_step
+
+    # --- roofline ----------------------------------------------------------
+    weight_bytes = _tree_device_bytes(params)
+    kv_bytes_per_tok = (
+        2 * cfg.num_layers * cfg.num_kv_heads * cfg.head_dim
+        * (context_len + n_long // 2) * 2  # bf16, avg length over the run
+    )
+    bytes_per_token = weight_bytes + kv_bytes_per_tok
+    roofline = HBM_BW / bytes_per_token
+    target = 0.9 * roofline
+
+    result = {
+        "metric": "decode_tok_s_vicuna7b_q4bf16_b1",
+        "value": round(tok_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / target, 4),
+        "backend": backend,
+        "ttft_ms_ctx128": round(ttft_ms, 1),
+        "roofline_tok_s": round(roofline, 1),
+        "pct_of_roofline": round(100 * tok_s / roofline, 1),
+        "weight_bytes": weight_bytes,
+        "rtt_ms": round(rtt * 1e3, 1),
+        "note": "vs_baseline = tok_s/(0.9*HBM roofline); on-device scan loop, long-minus-short timing",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

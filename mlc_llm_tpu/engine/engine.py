@@ -1,0 +1,227 @@
+"""Single-host inference engine with bucketed prefill + fused decode/sample.
+
+TPU-first design decisions (SURVEY.md §7.1):
+- prefill lengths are padded to static buckets (XLA compiles once per
+  bucket) instead of the reference's symbolic-shape TIR
+- the decode step jits forward + on-device sampling into ONE program;
+  the sampled token feeds the next step on device, so the host loop
+  only reads token ids (one int per step, lagging one step behind the
+  dispatch — no per-token device sync on the critical path)
+- the KV cache is donated to every step (in-place buffer reuse)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..models.transformer import KVCache, forward, init_kv_cache
+from ..ops.sampling import sample_token
+from .stats import RuntimeStats
+
+DEFAULT_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+@dataclasses.dataclass
+class GenerationConfig:
+    """Per-request generation parameters.
+
+    Defaults follow the reference CLI (cli_main.cc:145-147: temperature
+    0.7, top_p 0.95, mean_gen_len 128; window-shift policy lives in the
+    session layer).
+    """
+
+    max_new_tokens: int = 128
+    temperature: float = 0.7
+    top_p: float = 0.95
+    stop_tokens: Sequence[int] = ()
+    seed: Optional[int] = None
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params,
+        *,
+        max_batch: int = 1,
+        max_seq_len: Optional[int] = None,
+        cache_dtype=jnp.bfloat16,
+        prefill_buckets: Sequence[int] = DEFAULT_BUCKETS,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.max_batch = max_batch
+        self.max_seq_len = max_seq_len or cfg.max_seq_len
+        self.cache_dtype = cache_dtype
+        self.buckets = tuple(b for b in sorted(prefill_buckets) if b <= self.max_seq_len)
+        if not self.buckets or self.buckets[-1] < self.max_seq_len:
+            self.buckets = tuple(sorted({*self.buckets, self.max_seq_len}))
+        self.stats = RuntimeStats()
+        self.cache = init_kv_cache(cfg, max_batch, self.max_seq_len, cache_dtype)
+
+        # --- jitted programs -------------------------------------------------
+        cfg_static = cfg
+
+        @partial(jax.jit, donate_argnames=("cache",), static_argnames=("last_only",))
+        def _prefill(params, tokens, seq_lens, cache, last_only=True):
+            return forward(
+                params, cfg_static, tokens, cache,
+                seq_lens=seq_lens, last_only=last_only,
+            )
+
+        @partial(jax.jit, donate_argnames=("cache",))
+        def _decode_sample(params, tokens, cache, key, temperature, top_p, active):
+            """One decode step + on-device sampling.
+
+            tokens: [B, 1]; active: [B] bool — inactive slots don't
+            advance their cache length (their token is still computed
+            but the slot state is frozen).
+            """
+            seq_lens = active.astype(jnp.int32)
+            logits, cache = forward(
+                params, cfg_static, tokens, cache, seq_lens=seq_lens, last_only=True
+            )
+            key, sub = jax.random.split(key)
+            nxt = sample_token(logits, sub, temperature, top_p)
+            nxt = jnp.where(active, nxt, tokens[:, 0])
+            return nxt, cache, key
+
+        @partial(jax.jit, donate_argnames=("cache",))
+        def _reset_lengths(cache, keep_mask):
+            return KVCache(
+                k=cache.k,
+                v=cache.v,
+                lengths=jnp.where(keep_mask, cache.lengths, 0),
+            )
+
+        self._prefill = _prefill
+        self._decode_sample = _decode_sample
+        self._reset_lengths = _reset_lengths
+        self._sample_logits = jax.jit(
+            lambda logits, key, t, p: sample_token(logits, key, t, p)
+        )
+
+    # ------------------------------------------------------------------ utils
+    def bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"prompt length {n} exceeds max_seq_len {self.max_seq_len}")
+
+    def reset(self, slots: Optional[Sequence[int]] = None) -> None:
+        """Clear KV state (all slots, or the given subset)."""
+        keep = np.ones((self.max_batch,), bool)
+        if slots is None:
+            keep[:] = False
+        else:
+            keep[list(slots)] = False
+        self.cache = self._reset_lengths(self.cache, jnp.asarray(keep))
+
+    # ------------------------------------------------------------- prefill/gen
+    def prefill(self, prompts: List[List[int]]):
+        """Prefill the batch (resets slot lengths 0..len(prompts)-1).
+
+        Returns last-token logits [B, V] (fp32, device array).
+        """
+        B = self.max_batch
+        assert len(prompts) <= B, (len(prompts), B)
+        lens = [len(p) for p in prompts]
+        bucket = self.bucket_for(max(lens))
+        toks = np.zeros((B, bucket), np.int32)
+        seq_lens = np.zeros((B,), np.int32)
+        for i, p in enumerate(prompts):
+            toks[i, : len(p)] = p
+            seq_lens[i] = len(p)
+        self.reset(range(len(prompts)))
+        t0 = time.perf_counter()
+        logits, self.cache = self._prefill(
+            self.params, jnp.asarray(toks), jnp.asarray(seq_lens), self.cache
+        )
+        logits.block_until_ready()
+        self.stats.prefill_time += time.perf_counter() - t0
+        self.stats.prefill_tokens += int(sum(lens))
+        return logits
+
+    def generate(
+        self,
+        prompts: List[List[int]],
+        gen: GenerationConfig = GenerationConfig(),
+        on_token: Optional[Callable[[int, int], None]] = None,
+    ) -> List[List[int]]:
+        """Greedy/top-p generation for a batch of prompts.
+
+        on_token(slot, token) streams tokens (one decode step behind
+        the device). Returns generated token lists (stop token not
+        included).
+        """
+        B = self.max_batch
+        n = len(prompts)
+        logits = self.prefill(prompts)
+
+        key = jax.random.PRNGKey(
+            gen.seed if gen.seed is not None else np.random.randint(0, 2**31 - 1)
+        )
+        t = jnp.float32(gen.temperature)
+        p = jnp.float32(gen.top_p)
+        key, sub = jax.random.split(key)
+        first = self._sample_logits(logits, sub, t, p)  # [B]
+
+        stop = set(gen.stop_tokens) | set(self.cfg.stop_tokens)
+        out: List[List[int]] = [[] for _ in range(n)]
+        done = np.zeros((n,), bool)
+        lens0 = np.array([len(pr) for pr in prompts])
+
+        cur = first[:, None]  # [B, 1] device
+        pending: List[jax.Array] = [first]
+        t0 = time.perf_counter()
+        steps = 0
+        max_steps = min(
+            gen.max_new_tokens,
+            int(self.max_seq_len - lens0.max()),
+        )
+
+        def drain_one():
+            nonlocal steps
+            tok_host = np.asarray(pending.pop(0))
+            for i in range(n):
+                if done[i]:
+                    continue
+                tk = int(tok_host[i])
+                if tk in stop:
+                    done[i] = True
+                    continue
+                out[i].append(tk)
+                if on_token is not None:
+                    on_token(i, tk)
+                if len(out[i]) >= gen.max_new_tokens:
+                    done[i] = True
+
+        active_np = np.zeros((B,), bool)
+        active_np[:n] = True
+        for step in range(max_steps - 1):
+            # dispatch next step before reading the previous token
+            nxt, self.cache, key = self._decode_sample(
+                self.params, cur, self.cache, key, t, p, jnp.asarray(active_np)
+            )
+            pending.append(nxt)
+            cur = nxt[:, None]
+            steps += 1
+            drain_one()
+            if done.all():
+                break
+            active_np[:n] = ~done
+        while pending:
+            drain_one()
+
+        dt = time.perf_counter() - t0
+        self.stats.decode_time += dt
+        self.stats.decode_tokens += steps * int(n)
+        return out

@@ -146,15 +146,23 @@ def forward(
     tokens: Array,
     cache: KVCache,
     *,
+    seq_lens: Optional[Array] = None,
     last_only: bool = True,
 ) -> Tuple[Array, KVCache]:
     """Run the decoder over a token block appended at each slot's length.
 
     tokens: [B, S] int32 (S static: a prefill bucket or 1 for decode).
-    Returns (logits fp32 [B, V] if last_only else [B, S, V], new cache).
-    The caller is responsible for masking padded slots.
+    seq_lens: [B] actual new-token count per slot (<= S); tokens beyond
+    are right-padding. Padded positions write junk K/V past the slot's
+    length, but every future step writes its own position before
+    attending to it, so the junk is never visible.
+    Returns (logits fp32 [B, V] if last_only — taken at each slot's
+    LAST REAL token — else [B, S, V]; new cache with lengths advanced
+    by seq_lens).
     """
     B, S = tokens.shape
+    if seq_lens is None:
+        seq_lens = jnp.full((B,), S, jnp.int32)
     start = cache.lengths
     positions = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
     positions = jnp.minimum(positions, cache.max_len - 1)
@@ -178,7 +186,9 @@ def forward(
 
     h = _norm(h, params["final_ln"]["w"], params["final_ln"].get("b"), cfg)
     if last_only:
-        h = h[:, -1:, :]  # lm head on last position only (llama.py:532-541)
+        # lm head on each slot's last REAL position only (llama.py:532-541)
+        idx = jnp.clip(seq_lens - 1, 0, S - 1)
+        h = jnp.take_along_axis(h, idx[:, None, None], axis=1)
 
     lm = params["lm_head"]
     if cfg.fp32_lm_head:
@@ -188,7 +198,7 @@ def forward(
     if last_only:
         logits = logits[:, 0, :]
 
-    new_cache = KVCache(k=k_new, v=v_new, lengths=cache.lengths + S)
+    new_cache = KVCache(k=k_new, v=v_new, lengths=cache.lengths + seq_lens)
     return logits, new_cache
 
 
@@ -212,12 +222,17 @@ def init_random_params(
     quant,
     seed: int = 0,
     scale: float = 0.02,
+    fabricate: bool = False,
 ) -> Params:
     """Random-weight params (tests / benchmarks; no network access).
 
     Weight layout is [k, n] everywhere (reduction-major), matching the
     quant core; the embedding is stored transposed [H, V] when
     quantized so gather+dequant reads columns.
+
+    fabricate=True skips fp32 materialization + real quantization and
+    directly fabricates random packed codes + scales (exact storage
+    layout, garbage values) — for benchmarking multi-GB models fast.
     """
     spec = resolve_spec(quant)
     dtype = jnp.dtype(spec.dtype)
@@ -233,15 +248,56 @@ def init_random_params(
     def randw(k, n):
         return jax.random.normal(nxt(), (k, n), jnp.float32) * scale
 
+    if fabricate and spec.is_quantized:
+
+        def fab(k, n, fspec=None):
+            fspec = fspec or spec
+            g = fspec.group_size
+            ngroups = -(-k // g)
+            if fspec.storage == "u4":
+                data = jax.random.randint(
+                    nxt(), (ngroups * g, n), 0, 15, jnp.uint8
+                ).astype(jnp.uint4)
+            elif fspec.storage == "i8":
+                data = jax.random.randint(nxt(), (ngroups * g, n), -127, 128, jnp.int8)
+            else:
+                epw = fspec.elems_per_word
+                rows = ngroups * (-(-g // epw))
+                wdtype = jnp.uint32 if fspec.storage == "u32" else jnp.uint16
+                data = jax.random.bits(nxt(), (rows, n), jnp.uint32).astype(wdtype)
+            qscale = (
+                jnp.abs(jax.random.normal(nxt(), (ngroups, n), jnp.float32)) * scale
+                / max(fspec.max_int, 1)
+            ).astype(jnp.dtype(fspec.dtype))
+            zero = None
+            if not fspec.sym:
+                zero = (-qscale * (1 << (fspec.nbit - 1))).astype(jnp.dtype(fspec.dtype))
+            return QuantizedTensor(
+                data=data, scale=qscale, zero=zero, spec=fspec, shape=(k, n)
+            )
+
+        globals_fab = fab
+    else:
+        globals_fab = None
+
+    def _mk(k, n, sp=None):
+        sp = sp or spec
+        if globals_fab is not None and sp.is_quantized:
+            return globals_fab(k, n, sp)
+        w = randw(k, n)
+        if sp.is_quantized:
+            return quantize(w, sp)
+        return w.astype(jnp.dtype(sp.dtype))
+
     gated = cfg.act == "silu_gated"
     layers = []
     for _ in range(cfg.num_layers):
         lp: Params = {
             "ln1_w": jnp.ones((H,), dtype),
-            "wqkv": _maybe_quant(randw(H, (nh + 2 * nkv) * d), spec),
-            "wo": _maybe_quant(randw(nh * d, H), spec),
-            "w_in": _maybe_quant(randw(H, 2 * F if gated else F), spec),
-            "w_out": _maybe_quant(randw(F, H), spec),
+            "wqkv": _mk(H, (nh + 2 * nkv) * d),
+            "wo": _mk(nh * d, H),
+            "w_in": _mk(H, 2 * F if gated else F),
+            "w_out": _mk(F, H),
         }
         if cfg.norm_type == "layernorm":
             lp["ln1_b"] = jnp.zeros((H,), dtype)
@@ -262,24 +318,20 @@ def init_random_params(
         d, cfg.rotary_pct, cfg.rotary_base, cfg.max_seq_len, cfg.rotary_style
     )
 
+    head_spec = spec
+    if cfg.fp32_lm_head:
+        head_spec = (
+            dataclasses.replace(spec, dtype="float32")
+            if spec.is_quantized
+            else resolve_spec("f32")
+        )
     params: Params = {
         "embed": {
-            "w": quantize(randw(H, V), spec)
-            if spec.is_quantized
-            else randw(V, H).astype(dtype)
+            "w": _mk(H, V) if spec.is_quantized else randw(V, H).astype(dtype)
         },
         "layers": _stack_layers(layers),
         "final_ln": {"w": jnp.ones((H,), dtype)},
-        "lm_head": {
-            "w": _maybe_quant(
-                randw(H, V),
-                spec
-                if not cfg.fp32_lm_head
-                else dataclasses.replace(spec, dtype="float32")
-                if spec.is_quantized
-                else resolve_spec("f32"),
-            )
-        },
+        "lm_head": {"w": _mk(H, V, head_spec)},
         "rotary": {"cos": cos, "sin": sin},
     }
     if cfg.norm_type == "layernorm":

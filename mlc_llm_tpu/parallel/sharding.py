@@ -1,0 +1,149 @@
+"""Mesh construction + NamedSharding rules for params and KV cache.
+
+Megatron-style placement, expressed declaratively and compiled by
+GSPMD (no hand-written collectives):
+
+- wqkv, w_in (and their biases): column-parallel — output dim over 'tp'
+- wo, w_out: row-parallel — reduction dim over 'tp' (GSPMD inserts the
+  all-reduce after the matmul, i.e. after o_proj and down_proj, exactly
+  the overlap points named in SURVEY.md §2.9)
+- embedding / lm_head: vocab-sharded
+- KV cache: heads over 'tp', batch over 'dp'
+- norms, rotary tables, row-parallel biases: replicated
+
+QuantizedTensor leaves shard like their logical [k, n] weight; the
+group-scale arrays [n_groups, n] inherit the same column/row spec
+(k-sharding requires the per-shard k to be a multiple of group_size
+for collective-free dequant — true for all real configs at tp<=8).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.transformer import KVCache
+
+
+def make_mesh(
+    tp: Optional[int] = None, dp: int = 1, devices=None
+) -> Mesh:
+    """Mesh with ('dp', 'tp') axes. Default: all devices on 'tp'."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if tp is None:
+        tp = n // dp
+    assert dp * tp <= n, f"dp({dp}) * tp({tp}) > devices({n})"
+    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+# param-key -> (spec for the [k, n] weight). L-stacked leaves get None
+# prepended automatically for the layer axis.
+_COL = P(None, "tp")  # column-parallel: shard n
+_ROW = P("tp", None)  # row-parallel: shard k
+_REP = P(None, None)
+
+_WEIGHT_RULES = [
+    (r"layers/wqkv", _COL),
+    (r"layers/w_in", _COL),
+    (r"layers/wo", _ROW),
+    (r"layers/w_out", _ROW),
+    (r"embed/w", _COL),     # quantized embed stored [H, V]: shard vocab
+    (r"lm_head/w", _COL),   # [H, V]: shard vocab (logits vocab-sharded)
+]
+_BIAS_RULES = [
+    (r"layers/bqkv", P("tp")),
+    (r"layers/b_in", P("tp")),
+    (r"layers/bo", P(None)),
+    (r"layers/b_out", P(None)),
+    (r"lm_head/b", P("tp")),
+]
+# dense (unquantized) embedding is [V, H]: shard vocab = dim 0
+_DENSE_EMBED = P("tp", None)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "name"):
+            parts.append(str(p.name))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+    return "/".join(parts)
+
+
+def _spec_for(path_s: str, leaf, is_layer_stacked: bool) -> P:
+    for pat, spec in _WEIGHT_RULES:
+        if re.search(pat, path_s):
+            # dense embedding is [V, H] (leaf path exactly "embed/w");
+            # quantized embedding leaves are "embed/w/data" etc in [H, V]
+            if path_s == "embed/w":
+                spec = _DENSE_EMBED
+            # QuantizedTensor sub-leaves (data/scale/zero) all share the
+            # weight's [.., n]-style spec; scale/zero are [g, n]
+            if is_layer_stacked:
+                return P(None, *spec)
+            return spec
+    for pat, spec in _BIAS_RULES:
+        if re.search(pat, path_s):
+            if is_layer_stacked:
+                return P(None, *spec)
+            return spec
+    # norms, rotary, everything else: replicated
+    ndim = getattr(leaf, "ndim", 1)
+    if is_layer_stacked:
+        return P(*([None] * ndim))
+    return P(*([None] * ndim))
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree matching `params` (QuantizedTensor-aware)."""
+
+    axis_size = {name: mesh.shape[name] for name in mesh.axis_names}
+
+    def assign(path, leaf):
+        path_s = _path_str(path)
+        stacked = path_s.startswith("layers/") or "/layers/" in path_s
+        spec = _spec_for(path_s, leaf, stacked)
+        # trim/extend spec to leaf rank
+        ndim = leaf.ndim
+        dims = list(spec)
+        if len(dims) < ndim:
+            dims = dims + [None] * (ndim - len(dims))
+        elif len(dims) > ndim:
+            # e.g. 1-D bias under a 2-D rule; keep the sharded axes that fit
+            dims = dims[:ndim]
+        # replicate any axis the sharding doesn't divide (tiny test
+        # configs; real configs keep group/head boundaries aligned)
+        for i, ax in enumerate(dims):
+            if ax is not None and leaf.shape[i] % axis_size[ax] != 0:
+                dims[i] = None
+        return NamedSharding(mesh, P(*dims))
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def shard_params(params, mesh: Mesh):
+    return jax.device_put(params, param_shardings(params, mesh))
+
+
+def cache_shardings(mesh: Mesh) -> KVCache:
+    """[L, B, H, Smax, D]: batch over dp, heads over tp."""
+    kv = NamedSharding(mesh, P(None, "dp", "tp", None, None))
+    return KVCache(k=kv, v=kv, lengths=NamedSharding(mesh, P("dp")))
+
+
+def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
+    s = cache_shardings(mesh)
+    return KVCache(
+        k=jax.device_put(cache.k, s.k),
+        v=jax.device_put(cache.v, s.v),
+        lengths=jax.device_put(cache.lengths, s.lengths),
+    )

@@ -38,9 +38,9 @@ class QuantSpec:
         if self.mode == "fp4" and not self.sym:
             raise ValueError("fp4 quantization requires sym=True")
         valid_storage = {
-            "int4": ("u4", "u32"),
+            "int4": ("u32", "u16", "u4"),
             "int3": ("u32", "u16"),
-            "fp4": ("u4", "u32"),
+            "fp4": ("u32", "u4"),
             "int8": ("i8",),
         }
         if self.mode not in valid_storage:
@@ -88,15 +88,18 @@ class QuantSpec:
 # Preset names follow the reference's qXfYY naming (q4f16 = int4 asym
 # group-32 at fp16 compute). bf16 variants are the TPU-preferred defaults.
 QUANT_PRESETS = {
-    "q4f16": QuantSpec("int4", 32, False, "u4", "float16"),
-    "q4bf16": QuantSpec("int4", 32, False, "u4", "bfloat16"),
-    "q4f32": QuantSpec("int4", 32, False, "u4", "float32"),
-    "q4f16_sym": QuantSpec("int4", 32, True, "u4", "float16"),
-    "q4bf16_sym": QuantSpec("int4", 32, True, "u4", "bfloat16"),
+    # u32 word packing: the axon TPU runtime has no native u4 dtype
+    # support, and packed words are what the Pallas kernels consume.
+    "q4f16": QuantSpec("int4", 32, False, "u32", "float16"),
+    "q4bf16": QuantSpec("int4", 32, False, "u32", "bfloat16"),
+    "q4f32": QuantSpec("int4", 32, False, "u32", "float32"),
+    "q4f16_sym": QuantSpec("int4", 32, True, "u32", "float16"),
+    "q4bf16_sym": QuantSpec("int4", 32, True, "u32", "bfloat16"),
+    "q4bf16_plane": QuantSpec("int4", 32, False, "u4", "bfloat16"),
     "q3f16": QuantSpec("int3", 40, True, "u32", "float16"),
     "q3bf16": QuantSpec("int3", 40, True, "u32", "bfloat16"),
-    "fp4f16": QuantSpec("fp4", 32, True, "u4", "float16"),
-    "fp4bf16": QuantSpec("fp4", 32, True, "u4", "bfloat16"),
+    "fp4f16": QuantSpec("fp4", 32, True, "u32", "float16"),
+    "fp4bf16": QuantSpec("fp4", 32, True, "u32", "bfloat16"),
     "q8f16": QuantSpec("int8", 32, True, "i8", "float16"),
     "q8bf16": QuantSpec("int8", 32, True, "i8", "bfloat16"),
     "f16": QuantSpec("none", 0, True, "raw", "float16"),

@@ -1,0 +1,83 @@
+"""Engine tests: generation loop, bucketing, determinism, stats."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mlc_llm_tpu.engine import GenerationConfig, InferenceEngine
+from mlc_llm_tpu.models import get_config, init_random_params
+
+
+@pytest.fixture(scope="module")
+def tiny_engine():
+    cfg = get_config("tiny-llama")
+    params = init_random_params(cfg, "q4bf16", seed=0)
+    return InferenceEngine(cfg, params, max_batch=2, max_seq_len=64)
+
+
+def test_greedy_deterministic(tiny_engine):
+    eng = tiny_engine
+    gen = GenerationConfig(max_new_tokens=8, temperature=0.0)
+    a = eng.generate([[5, 6, 7]], gen)
+    b = eng.generate([[5, 6, 7]], gen)
+    assert a == b
+    assert len(a[0]) <= 8 and len(a[0]) > 0
+
+
+def test_seeded_sampling_deterministic(tiny_engine):
+    gen = GenerationConfig(max_new_tokens=8, temperature=0.8, top_p=0.9, seed=42)
+    a = tiny_engine.generate([[1, 2, 3]], gen)
+    b = tiny_engine.generate([[1, 2, 3]], gen)
+    assert a == b
+
+
+def test_batch_generation_matches_single(tiny_engine):
+    eng = tiny_engine
+    gen = GenerationConfig(max_new_tokens=6, temperature=0.0)
+    both = eng.generate([[5, 6, 7], [9, 10, 11, 12]], gen)
+    solo0 = eng.generate([[5, 6, 7]], gen)
+    solo1 = eng.generate([[9, 10, 11, 12]], gen)
+    assert both[0] == solo0[0]
+    assert both[1] == solo1[0]
+
+
+def test_streaming_callback(tiny_engine):
+    seen = []
+    gen = GenerationConfig(max_new_tokens=5, temperature=0.0)
+    out = tiny_engine.generate([[3, 4]], gen, on_token=lambda i, t: seen.append((i, t)))
+    assert [t for i, t in seen] == out[0]
+
+
+def test_stop_token_halts(tiny_engine):
+    eng = tiny_engine
+    gen0 = GenerationConfig(max_new_tokens=8, temperature=0.0)
+    base = eng.generate([[5, 6, 7]], gen0)[0]
+    assert len(base) > 1
+    # use the second generated token as a stop token -> only 1 token out
+    gen1 = GenerationConfig(max_new_tokens=8, temperature=0.0, stop_tokens=(base[1],))
+    stopped = eng.generate([[5, 6, 7]], gen1)[0]
+    assert stopped == base[:1]
+
+
+def test_bucketing(tiny_engine):
+    assert tiny_engine.bucket_for(3) == 16
+    assert tiny_engine.bucket_for(16) == 16
+    assert tiny_engine.bucket_for(17) == 32
+    with pytest.raises(ValueError):
+        tiny_engine.bucket_for(65)
+
+
+def test_stats_accumulate(tiny_engine):
+    eng = tiny_engine
+    eng.stats.reset()
+    eng.generate([[1, 2, 3, 4]], GenerationConfig(max_new_tokens=4, temperature=0.0))
+    assert eng.stats.prefill_tokens == 4
+    assert eng.stats.decode_time > 0
+    assert "tok/s" in eng.stats.text()
+
+
+def test_max_new_tokens_respected(tiny_engine):
+    out = tiny_engine.generate(
+        [[1, 2]], GenerationConfig(max_new_tokens=3, temperature=0.0)
+    )
+    assert len(out[0]) <= 3

@@ -118,6 +118,6 @@ def test_spec_validation():
     with pytest.raises(ValueError):
         QuantSpec("int3", 40, False, "u32")
     with pytest.raises(ValueError):
-        QuantSpec("int4", 32, False, "u16")
+        QuantSpec("int4", 32, False, "i8")
     with pytest.raises(ValueError):
         resolve_spec("nope")

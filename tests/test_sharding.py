@@ -1,0 +1,82 @@
+"""TP/DP sharding tests on the 8-device virtual CPU mesh.
+
+Checks that sharded execution is NUMERICALLY IDENTICAL to single-device
+execution and that weights actually land distributed.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlc_llm_tpu.engine import GenerationConfig, InferenceEngine
+from mlc_llm_tpu.models import forward, get_config, init_kv_cache, init_random_params
+from mlc_llm_tpu.parallel import make_mesh, shard_cache, shard_params
+
+
+@pytest.mark.parametrize("dp,tp", [(1, 4), (2, 4), (1, 8)])
+def test_sharded_forward_matches_single_device(dp, tp):
+    if dp * tp > len(jax.devices()):
+        pytest.skip("not enough devices")
+    cfg = get_config("tiny-llama")  # 4 heads -> tp<=4 head-aligned; tp=8 pads
+    if tp > cfg.num_heads:
+        cfg = cfg.replace(num_heads=8, num_kv_heads=8)
+    params = init_random_params(cfg, "f32", seed=0)
+    toks = jnp.asarray([[1, 5, 9, 2]] * dp, jnp.int32)
+
+    cache = init_kv_cache(cfg, batch=dp, max_len=16, dtype=jnp.float32)
+    ref, _ = forward(params, cfg, toks, cache, last_only=True)
+
+    mesh = make_mesh(tp=tp, dp=dp)
+    sp = shard_params(params, mesh)
+    sc = shard_cache(init_kv_cache(cfg, batch=dp, max_len=16, dtype=jnp.float32), mesh)
+    got, new_cache = jax.jit(
+        lambda p, t, c: forward(p, cfg, t, c, last_only=True)
+    )(sp, toks, sc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
+    assert int(new_cache.lengths[0]) == 4
+
+
+def test_quantized_sharded_forward():
+    cfg = get_config("tiny-llama")
+    params = init_random_params(cfg, "q4bf16", seed=1)
+    toks = jnp.asarray([[3, 1, 4]], jnp.int32)
+    cache = init_kv_cache(cfg, batch=1, max_len=16)
+    ref, _ = forward(params, cfg, toks, cache, last_only=True)
+
+    mesh = make_mesh(tp=4, dp=1)
+    sp = shard_params(params, mesh)
+    sc = shard_cache(init_kv_cache(cfg, batch=1, max_len=16), mesh)
+    got, _ = jax.jit(lambda p, t, c: forward(p, cfg, t, c, last_only=True))(
+        sp, toks, sc
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
+def test_weights_actually_distributed():
+    cfg = get_config("tiny-llama")
+    params = init_random_params(cfg, "f32", seed=0)
+    mesh = make_mesh(tp=4, dp=2)
+    sp = shard_params(params, mesh)
+    wqkv = sp["layers"]["wqkv"]  # [L, H, 3HD] column-parallel
+    shard_shapes = {s.data.shape for s in wqkv.addressable_shards}
+    full = wqkv.shape
+    assert all(ss[2] == full[2] // 4 for ss in shard_shapes), shard_shapes
+    # row-parallel down-proj
+    wout = sp["layers"]["w_out"]
+    assert all(
+        s.data.shape[1] == wout.shape[1] // 4 for s in wout.addressable_shards
+    )
+
+
+def test_engine_runs_with_sharded_params():
+    cfg = get_config("tiny-llama")
+    params = init_random_params(cfg, "f32", seed=2)
+    mesh = make_mesh(tp=4, dp=1)
+    sp = shard_params(params, mesh)
+    eng = InferenceEngine(cfg, sp, max_batch=1, max_seq_len=32)
+    eng.cache = shard_cache(eng.cache, mesh)
+    out = eng.generate([[5, 6, 7]], GenerationConfig(max_new_tokens=4, temperature=0.0))
+    ref_eng = InferenceEngine(cfg, params, max_batch=1, max_seq_len=32)
+    ref = ref_eng.generate([[5, 6, 7]], GenerationConfig(max_new_tokens=4, temperature=0.0))
+    assert out == ref
