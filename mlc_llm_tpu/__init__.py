@@ -19,3 +19,18 @@ plus hand-written Pallas kernels for the hot dequant/attention paths.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Pallas/Mosaic compiles are expensive in this environment (tens of
+# seconds per kernel variant); persist compiled executables across
+# processes unless the user already configured a cache.
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    import jax as _jax
+
+    _cache = _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

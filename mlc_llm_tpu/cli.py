@@ -1,0 +1,130 @@
+"""Streaming chat CLI (the mlc_chat_cli analog).
+
+Mirrors /root/reference/cpp/cli_main.cc: REPL with /help, /exit,
+/stats, /reset commands and streamed token output. Model weights come
+from a checkpoint directory (utils/checkpoint.py format) or
+--random-weights for smoke runs.
+
+Usage:
+  python -m mlc_llm_tpu.cli --model tiny-llama --random-weights
+  python -m mlc_llm_tpu.cli --model vicuna-v1-7b --weights dist/vicuna-q4 \
+      --tokenizer /path/to/hf_tokenizer
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_session(args):
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from .engine import InferenceEngine
+    from .engine.session import ChatConfig, ChatSession
+    from .models import get_config, init_random_params
+    from .tokenizer import load_tokenizer
+
+    cfg = get_config(args.model)
+    if args.random_weights:
+        params = init_random_params(cfg, args.quantization, seed=0, fabricate=args.fabricate)
+    elif args.weights:
+        from .utils.checkpoint import load_params
+
+        params, meta = load_params(args.weights)
+        if meta.get("model") and meta["model"] != cfg.name:
+            print(
+                f"warning: checkpoint was built for {meta['model']}, "
+                f"requested {cfg.name}",
+                file=sys.stderr,
+            )
+    else:
+        raise SystemExit("need --weights DIR or --random-weights")
+
+    engine = InferenceEngine(
+        cfg,
+        params,
+        max_batch=1,
+        max_seq_len=min(cfg.max_seq_len, args.max_window_size * 2),
+    )
+    tok = load_tokenizer(args.tokenizer, add_prefix_space=cfg.family == "moss")
+    chat = ChatConfig(
+        temperature=args.temperature,
+        top_p=args.top_p,
+        max_gen_len=args.max_gen_len,
+        max_window_size=args.max_window_size,
+        seed=args.seed,
+    )
+    return ChatSession(engine, tok, cfg, chat, conv_template=args.conv_template)
+
+
+HELP = """Commands:
+  /help    print this message
+  /exit    quit
+  /stats   print encode/decode tok/s of the last round
+  /reset   restart a fresh chat
+"""
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("mlc_llm_tpu.cli")
+    ap.add_argument("--model", default="vicuna-v1-7b")
+    ap.add_argument("--weights", default=None, help="checkpoint directory")
+    ap.add_argument("--tokenizer", default=None, help="HF tokenizer path (default: byte tokenizer)")
+    ap.add_argument("--quantization", default="q4bf16")
+    ap.add_argument("--random-weights", action="store_true")
+    ap.add_argument("--fabricate", action="store_true", help="fabricated packed random weights (fast init)")
+    ap.add_argument("--conv-template", default=None)
+    ap.add_argument("--temperature", type=float, default=0.7)
+    ap.add_argument("--top-p", type=float, default=0.95)
+    ap.add_argument("--max-gen-len", type=int, default=512)
+    ap.add_argument("--max-window-size", type=int, default=768)
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--platform", default=None, help="jax platform override (e.g. cpu)")
+    ap.add_argument("--prompt", default=None, help="one-shot prompt (no REPL)")
+    args = ap.parse_args(argv)
+
+    session = build_session(args)
+
+    if args.prompt is not None:
+        for chunk in session.chat_stream(args.prompt):
+            print(chunk, end="", flush=True)
+        print()
+        print(f"[{session.stats_text}]", file=sys.stderr)
+        return
+
+    roles = session.conv.roles
+    print(f"Chatting with {args.model} ({session.conv.name} template).")
+    print("Type /help for commands.")
+    while True:
+        try:
+            line = input(f"{roles[0]}: ")
+        except (EOFError, KeyboardInterrupt):
+            print()
+            break
+        cmd = line.strip()
+        if cmd == "/exit":
+            break
+        if cmd == "/help":
+            print(HELP)
+            continue
+        if cmd == "/stats":
+            print(session.stats_text)
+            continue
+        if cmd == "/reset":
+            session.reset()
+            print("chat restarted")
+            continue
+        if not cmd:
+            continue
+        print(f"{roles[1]}: ", end="", flush=True)
+        for chunk in session.chat_stream(cmd):
+            print(chunk, end="", flush=True)
+        print()
+
+
+if __name__ == "__main__":
+    main()

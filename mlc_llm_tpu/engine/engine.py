@@ -126,8 +126,9 @@ class InferenceEngine:
         self.cache = self._reset_lengths(self.cache, jnp.asarray(keep))
 
     # ------------------------------------------------------------- prefill/gen
-    def prefill(self, prompts: List[List[int]]):
-        """Prefill the batch (resets slot lengths 0..len(prompts)-1).
+    def prefill(self, prompts: List[List[int]], reset: bool = True):
+        """Prefill the batch. reset=True clears slot lengths first;
+        reset=False appends to the existing KV state (multi-turn chat).
 
         Returns last-token logits [B, V] (fp32, device array).
         """
@@ -140,7 +141,8 @@ class InferenceEngine:
         for i, p in enumerate(prompts):
             toks[i, : len(p)] = p
             seq_lens[i] = len(p)
-        self.reset(range(len(prompts)))
+        if reset:
+            self.reset(range(len(prompts)))
         t0 = time.perf_counter()
         logits, self.cache = self._prefill(
             self.params, jnp.asarray(toks), jnp.asarray(seq_lens), self.cache
@@ -150,21 +152,18 @@ class InferenceEngine:
         self.stats.prefill_tokens += int(sum(lens))
         return logits
 
-    def generate(
+    def generate_stream(
         self,
         prompts: List[List[int]],
         gen: GenerationConfig = GenerationConfig(),
-        on_token: Optional[Callable[[int, int], None]] = None,
-    ) -> List[List[int]]:
-        """Greedy/top-p generation for a batch of prompts.
-
-        on_token(slot, token) streams tokens (one decode step behind
-        the device). Returns generated token lists (stop token not
-        included).
-        """
+        reset: bool = True,
+    ):
+        """Generator yielding (slot, token) as tokens are read back
+        (one decode step behind the device dispatch). Slots not in
+        0..len(prompts)-1 keep their state frozen."""
         B = self.max_batch
         n = len(prompts)
-        logits = self.prefill(prompts)
+        logits = self.prefill(prompts, reset=reset)
 
         key = jax.random.PRNGKey(
             gen.seed if gen.seed is not None else np.random.randint(0, 2**31 - 1)
@@ -175,9 +174,9 @@ class InferenceEngine:
         first = self._sample_logits(logits, sub, t, p)  # [B]
 
         stop = set(gen.stop_tokens) | set(self.cfg.stop_tokens)
-        out: List[List[int]] = [[] for _ in range(n)]
+        emitted = [0] * n
         done = np.zeros((n,), bool)
-        lens0 = np.array([len(pr) for pr in prompts])
+        cur_lens = np.asarray(self.cache.lengths)
 
         cur = first[:, None]  # [B, 1] device
         pending: List[jax.Array] = [first]
@@ -185,11 +184,10 @@ class InferenceEngine:
         steps = 0
         max_steps = min(
             gen.max_new_tokens,
-            int(self.max_seq_len - lens0.max()),
+            int(self.max_seq_len - cur_lens[:n].max()),
         )
 
         def drain_one():
-            nonlocal steps
             tok_host = np.asarray(pending.pop(0))
             for i in range(n):
                 if done[i]:
@@ -198,30 +196,43 @@ class InferenceEngine:
                 if tk in stop:
                     done[i] = True
                     continue
-                out[i].append(tk)
-                if on_token is not None:
-                    on_token(i, tk)
-                if len(out[i]) >= gen.max_new_tokens:
+                emitted[i] += 1
+                if emitted[i] >= gen.max_new_tokens:
                     done[i] = True
+                yield (i, tk)
 
         active_np = np.zeros((B,), bool)
         active_np[:n] = True
-        for step in range(max_steps - 1):
-            # dispatch next step before reading the previous token
-            nxt, self.cache, key = self._decode_sample(
-                self.params, cur, self.cache, key, t, p, jnp.asarray(active_np)
-            )
-            pending.append(nxt)
-            cur = nxt[:, None]
-            steps += 1
-            drain_one()
-            if done.all():
-                break
-            active_np[:n] = ~done
-        while pending:
-            drain_one()
+        try:
+            for _ in range(max_steps - 1):
+                nxt, self.cache, key = self._decode_sample(
+                    self.params, cur, self.cache, key, t, p, jnp.asarray(active_np)
+                )
+                pending.append(nxt)
+                cur = nxt[:, None]
+                steps += 1
+                yield from drain_one()
+                if done.all():
+                    break
+                active_np[:n] = ~done
+            while pending:
+                yield from drain_one()
+        finally:
+            self.stats.decode_time += time.perf_counter() - t0
+            self.stats.decode_tokens += steps * int(n)
 
-        dt = time.perf_counter() - t0
-        self.stats.decode_time += dt
-        self.stats.decode_tokens += steps * int(n)
+    def generate(
+        self,
+        prompts: List[List[int]],
+        gen: GenerationConfig = GenerationConfig(),
+        on_token: Optional[Callable[[int, int], None]] = None,
+        reset: bool = True,
+    ) -> List[List[int]]:
+        """Greedy/top-p generation for a batch of prompts. Returns
+        generated token lists (stop token not included)."""
+        out: List[List[int]] = [[] for _ in range(len(prompts))]
+        for slot, tok in self.generate_stream(prompts, gen, reset=reset):
+            out[slot].append(tok)
+            if on_token is not None:
+                on_token(slot, tok)
         return out

@@ -251,9 +251,12 @@ def init_random_params(
     if fabricate and spec.is_quantized:
 
         def fab(k, n, fspec=None):
+            from ..quant.groupwise import LANE_PAD
+
             fspec = fspec or spec
             g = fspec.group_size
             ngroups = -(-k // g)
+            n_logical, n = n, -(-n // LANE_PAD) * LANE_PAD
             if fspec.storage == "u4":
                 data = jax.random.randint(
                     nxt(), (ngroups * g, n), 0, 15, jnp.uint8
@@ -273,7 +276,7 @@ def init_random_params(
             if not fspec.sym:
                 zero = (-qscale * (1 << (fspec.nbit - 1))).astype(jnp.dtype(fspec.dtype))
             return QuantizedTensor(
-                data=data, scale=qscale, zero=zero, spec=fspec, shape=(k, n)
+                data=data, scale=qscale, zero=zero, spec=fspec, shape=(k, n_logical)
             )
 
         globals_fab = fab

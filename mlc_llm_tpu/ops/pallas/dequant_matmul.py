@@ -1,14 +1,252 @@
-"""Fused group-dequant + matmul Pallas kernel (placeholder — jnp path
-is used until the kernel lands; see ops/matmul.py routing)."""
+"""Fused group-dequant + matmul Pallas TPU kernel.
+
+Replaces the reference's fused_decodeN_matmulM TIR kernels and their
+~80 hand-tuned schedule variants (/root/reference/mlc_llm/dispatch/
+llama/main.py, decode_matmul_ewise.py) with ONE parameterized kernel.
+
+Key layout trick (no weight-side relayout): packed words [KW, N] hold
+epw values along k, word kw covering k = kw*epw + i. Instead of
+unpacking to [BK, BN] (a sublane interleave Mosaic handles slowly), the
+activation is pre-reshaped OUTSIDE the kernel to x_t[epw, M, KW] with
+x_t[i, m, kw] = x[m, kw*epw + i]. Each nibble plane
+  nib_i = (w >> i*nbit) & mask            (pure elementwise on [BKw,BN])
+then dots against the contiguous slice x_t[i]:
+  acc += x_t[i] @ (value(nib_i) * scale_e)
+and the per-group offset (asym min, or sym -max_int*scale) folds into a
+single extra dot:  acc += (sum_i x_t[i]) @ offset_e.
+
+Weight bytes are read exactly once per (n, k) tile -> the kernel is
+HBM-bandwidth-bound by construction, which is the q4 decode roofline
+(BASELINE.md).
+"""
 
 from __future__ import annotations
 
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
 from ...quant.groupwise import QuantizedTensor
+from ...quant.spec import QuantSpec
+
+Array = jax.Array
 
 
 def dequant_matmul_supported(w: QuantizedTensor) -> bool:
-    return False
+    spec = w.spec
+    if spec.storage not in ("u32", "u16", "i8"):
+        return False
+    if w.data.shape[1] % 128 != 0:
+        return False
+    return True
 
 
-def dequant_matmul(x, w: QuantizedTensor, out_dtype=None):
-    raise NotImplementedError("Pallas dequant_matmul kernel not yet implemented")
+def _largest_divisor(n: int, candidates) -> Optional[int]:
+    for c in candidates:
+        if c <= n and n % c == 0:
+            return c
+    return None
+
+
+def _pick_blocks(m: int, kw: int, n: int, words_per_group: int):
+    """Block sizes in (m, k-words, n) units.
+
+    Mosaic requires each block's last dim to be 128-divisible (or the
+    full axis) and the second-to-last 8-divisible (or full). bkw is the
+    LAST dim of the x_t block, so it must be a 128-multiple divisor of
+    kw that also respects group alignment — else we take the whole k
+    axis in one step (the grid still tiles m and n).
+    """
+    bm = m if m <= 16 else (_largest_divisor(m, (256, 128, 64, 32, 16, 8)) or m)
+    bkw = None
+    for c in (2048, 1024, 512, 384, 256, 128):
+        if c <= kw and kw % c == 0 and c % words_per_group == 0:
+            bkw = c
+            break
+    if bkw is None:
+        bkw = kw  # full k axis in one step
+    bn = _largest_divisor(n, (512, 384, 256, 128)) or 128
+    return bm, bkw, bn
+
+
+def _nib_value(nib_u32: Array, mode: str, dtype) -> Array:
+    """Map extracted codes to (unscaled) float values.
+
+    int modes: value = code (offset handled by the folded offset dot).
+    fp4: sign|3-bit-exponent -> ±2^(e-7), built by integer bit assembly
+    (cheap VPU ops, no transcendentals).
+    """
+    if mode == "fp4":
+        e = nib_u32 & 7
+        s = nib_u32 >> 3
+        # bf16: sign<<15 | (e+120)<<7 ; f32 path built via bf16 then cast
+        bits = (s << 15 | (e + 120) << 7).astype(jnp.uint16)
+        val = jax.lax.bitcast_convert_type(bits, jnp.bfloat16)
+        val = jnp.where(e == 0, jnp.bfloat16(0), val)
+        return val.astype(dtype)
+    # Mosaic has no u32->float cast; go through i32
+    return nib_u32.astype(jnp.int32).astype(dtype)
+
+
+def _row_repeat(a: Array, r: int) -> Array:
+    """Element-wise row repeat [g, n] -> [g*r, n] (row i -> rows i*r..).
+
+    NOTE: pltpu.repeat has tile semantics at these shapes, so build the
+    repeat from broadcast+reshape instead.
+    """
+    g, n = a.shape
+    return jnp.broadcast_to(a[:, None, :], (g, r, n)).reshape(g * r, n)
+
+
+def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, spec: QuantSpec,
+            wpg: int, k_steps: int, out_dtype):
+    """One (m, n, k) grid step.
+
+    x_ref: [epw, BM, BKw]   activation planes
+    w_ref: [BKw, BN]        packed words (u32/u16) or int8 plane
+    s_ref: [BKg, BN]        group scales
+    z_ref: [BKg, BN]        group minima (asym) — aliased to s_ref if sym
+    o_ref: [BM, BN]         output
+    acc_ref: [BM, BN] f32   accumulator scratch
+    """
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    cdtype = x_ref.dtype
+    scale = s_ref[:].astype(cdtype)
+    scale_e = _row_repeat(scale, wpg)  # [BKw, BN]
+
+    acc = acc_ref[:]
+    if spec.storage == "i8":
+        w = w_ref[:].astype(cdtype) * scale_e
+        acc += jax.lax.dot_general(
+            x_ref[0], w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        epw = spec.elems_per_word
+        mask = jnp.uint32((1 << spec.nbit) - 1)
+        w32 = w_ref[:].astype(jnp.uint32)
+        for i in range(epw):
+            nib = (w32 >> (i * spec.nbit)) & mask
+            wv = _nib_value(nib, spec.mode, cdtype) * scale_e
+            acc += jax.lax.dot_general(
+                x_ref[i], wv, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        # folded offset term
+        if spec.mode != "fp4":
+            if spec.sym:
+                off_e = scale_e * (-spec.max_int)
+            else:
+                off_e = _row_repeat(z_ref[:].astype(cdtype), wpg)
+            xs = jnp.sum(x_ref[:], axis=0)  # [BM, BKw]
+            acc += jax.lax.dot_general(
+                xs, off_e, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    acc_ref[:] = acc
+
+    @pl.when(k_idx == k_steps - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "shape", "out_dtype", "interpret")
+)
+def _dequant_matmul_2d(
+    x: Array,
+    data: Array,
+    scale: Array,
+    zero: Optional[Array],
+    *,
+    spec: QuantSpec,
+    shape,
+    out_dtype,
+    interpret: bool,
+) -> Array:
+    """x: [M, k] -> [M, n] (n = logical columns; internals padded)."""
+    k, n = shape
+    m = x.shape[0]
+    n_stored = data.shape[1]
+    g = spec.group_size
+
+    if spec.storage == "i8":
+        epw = 1
+        kw = data.shape[0]
+        wpg = g
+    else:
+        epw = spec.elems_per_word
+        kw = data.shape[0]
+        wpg = -(-g // epw)  # words per group
+
+    k_stored = kw * epw
+    # pad x's k to the stored k (zeros contribute nothing)
+    if x.shape[1] != k_stored:
+        x = jnp.pad(x, ((0, 0), (0, k_stored - x.shape[1])))
+    # plane-transpose: x_t[i, m, kw] = x[m, kw*epw + i]
+    x_t = x.reshape(m, kw, epw).transpose(2, 0, 1)
+
+    bm, bkw, bn = _pick_blocks(m, kw, n_stored, wpg)
+    m_pad = -(-m // bm) * bm
+    if m_pad != m:
+        x_t = jnp.pad(x_t, ((0, 0), (0, m_pad - m), (0, 0)))
+    k_steps = kw // bkw
+    bkg = bkw // wpg
+    grid = (m_pad // bm, n_stored // bn, k_steps)
+
+    if zero is None:
+        zero = scale  # placeholder, unused in sym/fp4/i8 paths
+
+    kernel = functools.partial(
+        _kernel, spec=spec, wpg=wpg, k_steps=k_steps, out_dtype=out_dtype
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((epw, bm, bkw), lambda i, j, kk: (0, i, kk)),
+            pl.BlockSpec((bkw, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((bkg, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((bkg, bn), lambda i, j, kk: (kk, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_stored), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k_stored * n_stored,
+            bytes_accessed=data.size * data.dtype.itemsize
+            + m_pad * k_stored * x.dtype.itemsize
+            + m_pad * n_stored * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_t, data, scale, zero)
+    return out[:m, :n]
+
+
+def dequant_matmul(x: Array, w: QuantizedTensor, out_dtype=None) -> Array:
+    """x: [..., k] @ dequant(w) -> [..., n]."""
+    out_dtype = jnp.dtype(out_dtype) if out_dtype is not None else x.dtype
+    lead = x.shape[:-1]
+    m = 1
+    for d in lead:
+        m *= d
+    x2 = x.reshape(m, x.shape[-1])
+    interpret = jax.default_backend() == "cpu"
+    y = _dequant_matmul_2d(
+        x2, w.data, w.scale, w.zero,
+        spec=w.spec, shape=w.shape, out_dtype=out_dtype, interpret=interpret,
+    )
+    return y.reshape(*lead, w.shape[1])

@@ -23,6 +23,9 @@ from .spec import QuantSpec, resolve_spec
 
 Array = jax.Array
 
+# packed columns are padded to this lane multiple (TPU tiling)
+LANE_PAD = 128
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
@@ -176,6 +179,14 @@ def _quantize_impl(w: Array, spec: QuantSpec):
         if k_words != k_pad:
             codes = jnp.pad(codes, ((0, k_words - k_pad), (0, 0)))
         data = _pack_words(codes, spec)
+    # pad n (lanes) to a multiple of 128 for TPU tiling; padded columns
+    # decode to 0 by construction and are sliced off on the way out
+    n_pad = -(-n // LANE_PAD) * LANE_PAD
+    if n_pad != n:
+        data = jnp.pad(data, ((0, 0), (0, n_pad - n)))
+        scale_st = jnp.pad(scale_st, ((0, 0), (0, n_pad - n)))
+        if zero_st is not None:
+            zero_st = jnp.pad(zero_st, ((0, 0), (0, n_pad - n)))
     return data, scale_st, zero_st
 
 
@@ -207,8 +218,9 @@ def dequantize(qt: QuantizedTensor, dtype=None) -> Array:
     out_dtype = jnp.dtype(dtype or spec.dtype)
     k, n = qt.shape
     g = spec.group_size
-    codes = _codes(qt)  # [k_stored, n]
+    codes = _codes(qt)  # [k_stored, n_stored] (columns may be lane-padded)
     k_stored = codes.shape[0]
+    n_stored = codes.shape[1]
 
     if spec.storage in ("u32", "u16"):
         # words are packed per group: rows_per_group*epw slots per group,
@@ -217,11 +229,13 @@ def dequantize(qt: QuantizedTensor, dtype=None) -> Array:
         rows_per_group = -(-g // epw)
         slots = rows_per_group * epw
         n_groups = qt.n_groups
-        codes = codes.reshape(n_groups, slots, n)[:, :g, :].reshape(n_groups * g, n)
+        codes = codes.reshape(n_groups, slots, n_stored)[:, :g, :].reshape(
+            n_groups * g, n_stored
+        )
         k_stored = n_groups * g
 
     n_groups = qt.n_groups
-    codes = codes.reshape(n_groups, g, n)
+    codes = codes.reshape(n_groups, g, n_stored)
     scale = qt.scale.astype(out_dtype)[:, None, :]
     if spec.sym:
         if spec.mode == "fp4":
@@ -230,7 +244,7 @@ def dequantize(qt: QuantizedTensor, dtype=None) -> Array:
             w = (codes - spec.max_int).astype(out_dtype) * scale
     else:
         w = codes.astype(out_dtype) * scale + qt.zero.astype(out_dtype)[:, None, :]
-    return w.reshape(n_groups * g, n)[:k]
+    return w.reshape(n_groups * g, n_stored)[:k, :n]
 
 
 def take_dequantize(qt: QuantizedTensor, indices: Array, dtype=None) -> Array:

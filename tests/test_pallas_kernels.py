@@ -1,0 +1,112 @@
+"""Pallas kernel vs jnp-reference parity (interpret mode on CPU).
+
+Idiom 2 of SURVEY.md §4 (per-kernel differential testing), with the
+jnp dequant path as the comparison backend.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlc_llm_tpu.ops.pallas.dequant_matmul import (
+    dequant_matmul,
+    dequant_matmul_supported,
+)
+from mlc_llm_tpu.quant import dequantize, quantize, resolve_spec
+
+
+def _mk(k, n, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal((k, n)) * 0.05).astype(np.float32)
+
+
+@pytest.mark.parametrize(
+    "preset,m",
+    [
+        ("q4bf16", 1),        # decode gemv
+        ("q4bf16", 24),       # small prefill with m padding
+        ("q4bf16", 64),
+        ("q4bf16_sym", 8),
+        ("q4f32", 4),
+        ("q3bf16", 8),        # int3, group 40, u32
+        ("fp4bf16", 8),
+        ("q8bf16", 8),
+        ("q4f16", 8),
+    ],
+)
+def test_dequant_matmul_matches_jnp(preset, m):
+    spec = resolve_spec(preset)
+    k = 256 if spec.group_size != 40 else 240
+    n = 384
+    w = _mk(k, n)
+    qt = quantize(w, spec)
+    assert dequant_matmul_supported(qt)
+
+    dtype = jnp.dtype(spec.dtype)
+    x = jnp.asarray(_mk(m, k, seed=7) * 2.0, dtype=dtype)
+    got = dequant_matmul(x, qt)
+
+    wd = dequantize(qt, dtype)
+    want = jnp.matmul(x, wd, preferred_element_type=jnp.float32).astype(dtype)
+
+    gotf = np.asarray(got, np.float32)
+    wantf = np.asarray(want, np.float32)
+    # same math, different accumulation order -> tight-ish tolerance
+    atol = 5e-2 if dtype != jnp.float32 else 1e-4
+    np.testing.assert_allclose(gotf, wantf, atol=atol, rtol=5e-2)
+
+
+def test_lane_padded_columns():
+    # n=300 pads to 384 internally; output must be exactly [m, 300]
+    spec = resolve_spec("q4bf16")
+    w = _mk(128, 300)
+    qt = quantize(w, spec)
+    assert qt.data.shape[1] == 384
+    x = jnp.asarray(_mk(4, 128, seed=9), jnp.bfloat16)
+    got = dequant_matmul(x, qt)
+    assert got.shape == (4, 300)
+    want = jnp.matmul(x, dequantize(qt, jnp.bfloat16))
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )
+
+
+def test_k_padding_non_divisible():
+    # int3 with k=100 -> stored k 120; x padded inside
+    spec = resolve_spec("q3bf16")
+    w = _mk(100, 128)
+    qt = quantize(w, spec)
+    x = jnp.asarray(_mk(2, 100, seed=3), jnp.bfloat16)
+    got = dequant_matmul(x, qt)
+    want = jnp.matmul(x, dequantize(qt, jnp.bfloat16))
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )
+
+
+def test_qmatmul_routes_to_pallas():
+    from mlc_llm_tpu.ops import qmatmul, use_kernels
+
+    spec = resolve_spec("q4bf16")
+    w = _mk(256, 256)
+    qt = quantize(w, spec)
+    x = jnp.asarray(_mk(3, 256, seed=1), jnp.bfloat16)
+    with use_kernels("pallas"):
+        got = qmatmul(x, qt)
+    with use_kernels("jnp"):
+        want = qmatmul(x, qt)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )
+
+
+def test_3d_batch_input():
+    spec = resolve_spec("q4bf16")
+    qt = quantize(_mk(128, 256), spec)
+    x = jnp.asarray(_mk(6, 128, seed=2).reshape(2, 3, 128), jnp.bfloat16)
+    got = dequant_matmul(x, qt)
+    assert got.shape == (2, 3, 256)

@@ -1,0 +1,151 @@
+"""Conversation templating, tokenizer, chat session, checkpoint tests."""
+
+import numpy as np
+import pytest
+
+from mlc_llm_tpu.conversation import CONV_TEMPLATES, get_conversation
+from mlc_llm_tpu.tokenizer import ByteTokenizer, load_tokenizer
+
+
+def test_vicuna_prompt_shape():
+    c = get_conversation("vicuna_v1.1")
+    c.append(c.roles[0], "Hello!")
+    c.append(c.roles[1], None)
+    p = c.get_prompt()
+    assert p.startswith("A chat between a curious user")
+    assert p.endswith("USER: Hello! ASSISTANT:")
+
+
+def test_vicuna_incremental_round2():
+    c = get_conversation("vicuna_v1.1")
+    c.append(c.roles[0], "Hi")
+    c.append(c.roles[1], None)
+    c.get_prompt()
+    c.update_last("Hello there")
+    c.append(c.roles[0], "How are you?")
+    c.append(c.roles[1], None)
+    inc = c.get_prompt_unprocessed()
+    # starts with sep2 and contains only the new turns
+    assert inc.startswith("</s>")
+    assert "How are you?" in inc and "Hi" not in inc
+    assert inc.endswith("ASSISTANT:")
+
+
+def test_dolly_prompt():
+    c = get_conversation("dolly")
+    c.append(c.roles[0], "Write a poem")
+    c.append(c.roles[1], None)
+    p = c.get_prompt()
+    assert "### Instruction:\nWrite a poem\n" in p
+    assert p.endswith("### Response:\n")
+
+
+def test_one_shot_has_example_and_offset():
+    c = get_conversation("conv_one_shot")
+    assert len(c.messages) == 2
+    c.append(c.roles[0], "Hello")
+    c.append(c.roles[1], None)
+    p = c.get_prompt()
+    assert "renewable" in p  # baked-in example
+    c.reset()
+    assert len(c.messages) == 2  # offset-protected example survives reset
+
+
+def test_moss_and_stablelm_styles():
+    m = get_conversation("moss")
+    m.append(m.roles[0], "你好")
+    m.append(m.roles[1], None)
+    p = m.get_prompt()
+    assert p.endswith("<|MOSS|>:")
+    assert "<|Human|>: 你好<eoh>\n" in p
+
+    s = get_conversation("stablelm")
+    s.append(s.roles[0], "hey")
+    s.append(s.roles[1], None)
+    assert s.get_prompt().endswith("<|USER|>hey<|ASSISTANT|>")
+
+
+def test_all_templates_render():
+    for name in CONV_TEMPLATES:
+        c = get_conversation(name)
+        c.append(c.roles[0], "test")
+        c.append(c.roles[1], None)
+        assert isinstance(c.get_prompt(), str)
+
+
+def test_byte_tokenizer_round_trip():
+    t = ByteTokenizer()
+    s = "hello, 世界!"
+    assert t.decode(t.encode(s)) == s
+    assert load_tokenizer(None).vocab_size == 256
+
+
+def test_chat_session_end_to_end():
+    from mlc_llm_tpu.engine import InferenceEngine
+    from mlc_llm_tpu.engine.session import ChatConfig, ChatSession
+    from mlc_llm_tpu.models import get_config, init_random_params
+
+    cfg = get_config("tiny-llama").replace(max_seq_len=512)
+    eng = InferenceEngine(cfg, init_random_params(cfg, "f32", seed=0),
+                          max_batch=1, max_seq_len=512)
+    chat = ChatConfig(temperature=0.0, max_gen_len=8, mean_gen_len=8,
+                      max_window_size=512, seed=1)
+    sess = ChatSession(eng, ByteTokenizer(), cfg, chat,
+                       conv_template="vicuna_v1.1")
+    r1 = sess.ask("Hi")
+    assert isinstance(r1, str)
+    assert sess.total_len > 0
+    t1 = sess.total_len
+    r2 = sess.ask("More")  # second turn uses incremental prefill
+    assert sess.total_len > t1
+    # reply recorded in history
+    assert sess.conv.messages[-1][1] == r2.strip()
+    sess.reset()
+    assert sess.total_len == 0
+
+
+def test_chat_session_window_shift():
+    from mlc_llm_tpu.engine import InferenceEngine
+    from mlc_llm_tpu.engine.session import ChatConfig, ChatSession
+    from mlc_llm_tpu.models import get_config, init_random_params
+
+    cfg = get_config("tiny-llama")
+    eng = InferenceEngine(cfg, init_random_params(cfg, "f32", seed=0),
+                          max_batch=1, max_seq_len=128)
+    chat = ChatConfig(temperature=0.0, max_gen_len=4, mean_gen_len=16,
+                      max_window_size=64, seed=1)
+    sess = ChatSession(eng, ByteTokenizer(), cfg, chat,
+                       conv_template="vicuna_v1.1")
+    for i in range(6):  # enough turns to overflow a 64-token window
+        sess.ask(f"question number {i}, please elaborate")
+        assert sess.total_len + chat.mean_gen_len <= 2 * 128
+
+
+def test_checkpoint_round_trip(tmp_path):
+    import jax.numpy as jnp
+
+    from mlc_llm_tpu.models import forward, get_config, init_kv_cache, init_random_params
+    from mlc_llm_tpu.utils.checkpoint import load_params, save_params
+
+    cfg = get_config("tiny-gpt_neox")
+    params = init_random_params(cfg, "q4bf16", seed=5)
+    save_params(params, str(tmp_path / "ckpt"), meta={"model": cfg.name})
+    loaded, meta = load_params(str(tmp_path / "ckpt"))
+    assert meta["model"] == cfg.name
+
+    toks = jnp.asarray([[1, 2, 3]], jnp.int32)
+    la, _ = forward(params, cfg, toks, init_kv_cache(cfg, 1, 16), last_only=True)
+    lb, _ = forward(loaded, cfg, toks, init_kv_cache(cfg, 1, 16), last_only=True)
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_cli_one_shot(capsys):
+    from mlc_llm_tpu import cli
+
+    cli.main([
+        "--model", "tiny-llama", "--random-weights", "--quantization", "f32",
+        "--platform", "cpu", "--prompt", "Hello", "--max-gen-len", "4",
+        "--temperature", "0", "--seed", "3", "--max-window-size", "64",
+    ])
+    out = capsys.readouterr().out
+    assert isinstance(out, str)
