@@ -95,6 +95,25 @@ class InferenceEngine:
             return nxt, cache, key
 
         @partial(jax.jit, donate_argnames=("cache",))
+        def _prefill_slot(params, tokens, seq_len, cache, slot):
+            """Prefill ONE slot (tokens [1, S]) without touching the
+            other slots' KV state — continuous-batching admission."""
+            k1 = jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1)
+            v1 = jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1)
+            sub = KVCache(k=k1, v=v1, lengths=jnp.zeros((1,), jnp.int32))
+            logits, sub = forward(
+                params, cfg_static, tokens, sub,
+                seq_lens=seq_len[None], last_only=True,
+            )
+            return logits, KVCache(
+                k=jax.lax.dynamic_update_slice_in_dim(cache.k, sub.k, slot, axis=1),
+                v=jax.lax.dynamic_update_slice_in_dim(cache.v, sub.v, slot, axis=1),
+                lengths=jax.lax.dynamic_update_slice_in_dim(
+                    cache.lengths, sub.lengths, slot, axis=0
+                ),
+            )
+
+        @partial(jax.jit, donate_argnames=("cache",))
         def _reset_lengths(cache, keep_mask):
             return KVCache(
                 k=cache.k,
@@ -103,6 +122,7 @@ class InferenceEngine:
             )
 
         self._prefill = _prefill
+        self._prefill_slot = _prefill_slot
         self._decode_sample = _decode_sample
         self._reset_lengths = _reset_lengths
         self._sample_logits = jax.jit(

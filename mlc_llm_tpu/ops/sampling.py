@@ -34,13 +34,19 @@ def sample_top_p(
     """
     logits = logits.astype(jnp.float32)
     temperature = jnp.asarray(temperature, jnp.float32)
+    top_p = jnp.asarray(top_p, jnp.float32)
+    # scalar or per-slot [B] parameters both broadcast over the vocab
+    if temperature.ndim == 1:
+        temperature = temperature[:, None]
+    if top_p.ndim == 1:
+        top_p = top_p[:, None]
     scaled = logits / jnp.maximum(temperature, 1e-6)
     probs = jax.nn.softmax(scaled, axis=-1)
 
     sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]  # descending
     cum = jnp.cumsum(sorted_probs, axis=-1)
     # keep tokens where the mass BEFORE them is < top_p
-    keep_sorted = (cum - sorted_probs) < jnp.asarray(top_p, jnp.float32)
+    keep_sorted = (cum - sorted_probs) < top_p
     # threshold prob: smallest kept probability per row
     thresh = jnp.min(
         jnp.where(keep_sorted, sorted_probs, jnp.inf), axis=-1, keepdims=True
@@ -70,4 +76,6 @@ def sample_token(
     if greedy is False:
         return sampled
     t = jnp.asarray(temperature, jnp.float32)
+    if t.ndim == 0:
+        t = jnp.broadcast_to(t, (logits.shape[0],))
     return jnp.where(t < 1e-6, argmax, sampled)
