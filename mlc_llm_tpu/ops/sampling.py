@@ -25,14 +25,23 @@ def sample_top_p(
     key: Array,
     temperature: Array | float,
     top_p: Array | float,
+    top_k: int = 64,
 ) -> Array:
     """Nucleus sampling. logits: [B, V] fp32; returns [B] int32.
 
     Keeps the smallest prefix of the descending-prob distribution whose
     cumulative mass reaches top_p (the token that crosses the threshold
     is kept), renormalizes, samples.
+
+    top_k > 0 prefilters the distribution with lax.top_k before the
+    nucleus cut — a full-vocab sort costs ~13 ms/step on a 32k vocab on
+    TPU, while the nucleus virtually never needs more than a few dozen
+    tokens at practical temperatures. top_k=0 gives the exact
+    full-vocab path.
     """
     logits = logits.astype(jnp.float32)
+    if top_k and top_k < logits.shape[-1]:
+        return _sample_top_p_topk(logits, key, temperature, top_p, top_k)
     temperature = jnp.asarray(temperature, jnp.float32)
     top_p = jnp.asarray(top_p, jnp.float32)
     # scalar or per-slot [B] parameters both broadcast over the vocab
@@ -53,6 +62,26 @@ def sample_top_p(
     )
     masked = jnp.where(probs >= thresh, scaled, -jnp.inf)
     return jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
+
+
+def _sample_top_p_topk(logits, key, temperature, top_p, top_k: int):
+    temperature = jnp.asarray(temperature, jnp.float32)
+    top_p = jnp.asarray(top_p, jnp.float32)
+    if temperature.ndim == 1:
+        temperature = temperature[:, None]
+    if top_p.ndim == 1:
+        top_p = top_p[:, None]
+    scaled = logits / jnp.maximum(temperature, 1e-6)
+    vals, idx = jax.lax.top_k(scaled, top_k)  # [B, K] descending
+    # probabilities under the FULL softmax (one cheap logsumexp pass),
+    # so the nucleus threshold matches the exact path
+    lse = jax.scipy.special.logsumexp(scaled, axis=-1, keepdims=True)
+    probs = jnp.exp(vals - lse)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) < top_p
+    masked = jnp.where(keep, vals, -jnp.inf)
+    choice = jax.random.categorical(key, masked, axis=-1)  # [B] in [0,K)
+    return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
 
 
 def sample_token(

@@ -90,13 +90,31 @@ def load_params(
     jax.sharding.Sharding mapping applied at device_put time."""
     with open(os.path.join(in_dir, MANIFEST)) as f:
         manifest = json.load(f)
+    items = list(manifest["leaves"].items())
     leaves = {}
-    for key, e in manifest["leaves"].items():
-        with open(os.path.join(in_dir, e["file"]), "rb") as f:
-            raw = f.read()
-        leaves[key] = np.frombuffer(raw, dtype=jnp.dtype(e["dtype"])).reshape(
-            e["shape"]
+    try:
+        from ..native import available, load_files_parallel
+
+        use_native = available()
+    except Exception:
+        use_native = False
+    if use_native:
+        # C++ multithreaded shard reader (native analog of
+        # vm.builtin.ndarray_cache.load)
+        bufs = [
+            np.empty(e["shape"], dtype=jnp.dtype(e["dtype"])) for _, e in items
+        ]
+        load_files_parallel(
+            [os.path.join(in_dir, e["file"]) for _, e in items], bufs
         )
+        leaves = {key: buf for (key, _), buf in zip(items, bufs)}
+    else:
+        for key, e in items:
+            with open(os.path.join(in_dir, e["file"]), "rb") as f:
+                raw = f.read()
+            leaves[key] = np.frombuffer(raw, dtype=jnp.dtype(e["dtype"])).reshape(
+                e["shape"]
+            )
 
     # rebuild nested dict from '/'-joined keys
     tree: Dict[str, Any] = {}
