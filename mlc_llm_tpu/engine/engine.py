@@ -94,32 +94,46 @@ class InferenceEngine:
             nxt = jnp.where(active, nxt, tokens[:, 0])
             return nxt, cache, key
 
+        def _slice_slot(arr, slot):
+            return None if arr is None else jax.lax.dynamic_slice_in_dim(
+                arr, slot, 1, axis=1
+            )
+
+        def _splice_slot(arr, sub, slot):
+            return None if arr is None else jax.lax.dynamic_update_slice_in_dim(
+                arr, sub, slot, axis=1
+            )
+
         @partial(jax.jit, donate_argnames=("cache",))
         def _prefill_slot(params, tokens, seq_len, cache, slot):
             """Prefill ONE slot (tokens [1, S]) without touching the
             other slots' KV state — continuous-batching admission."""
-            k1 = jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1)
-            v1 = jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1)
-            sub = KVCache(k=k1, v=v1, lengths=jnp.zeros((1,), jnp.int32))
+            sub = KVCache(
+                k=_slice_slot(cache.k, slot),
+                v=_slice_slot(cache.v, slot),
+                lengths=jnp.zeros((1,), jnp.int32),
+                k_scale=_slice_slot(cache.k_scale, slot),
+                v_scale=_slice_slot(cache.v_scale, slot),
+            )
             logits, sub = forward(
                 params, cfg_static, tokens, sub,
                 seq_lens=seq_len[None], last_only=True,
             )
             return logits, KVCache(
-                k=jax.lax.dynamic_update_slice_in_dim(cache.k, sub.k, slot, axis=1),
-                v=jax.lax.dynamic_update_slice_in_dim(cache.v, sub.v, slot, axis=1),
+                k=_splice_slot(cache.k, sub.k, slot),
+                v=_splice_slot(cache.v, sub.v, slot),
                 lengths=jax.lax.dynamic_update_slice_in_dim(
                     cache.lengths, sub.lengths, slot, axis=0
                 ),
+                k_scale=_splice_slot(cache.k_scale, sub.k_scale, slot),
+                v_scale=_splice_slot(cache.v_scale, sub.v_scale, slot),
             )
 
         @partial(jax.jit, donate_argnames=("cache",))
         def _reset_lengths(cache, keep_mask):
-            return KVCache(
-                k=cache.k,
-                v=cache.v,
-                lengths=jnp.where(keep_mask, cache.lengths, 0),
-            )
+            import dataclasses as _dc
+
+            return _dc.replace(cache, lengths=jnp.where(keep_mask, cache.lengths, 0))
 
         self._prefill = _prefill
         self._prefill_slot = _prefill_slot

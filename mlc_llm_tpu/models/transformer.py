@@ -36,11 +36,18 @@ Params = Dict[str, Any]
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
-    """k/v: [L, B, Hkv, Smax, D]; lengths: [B] valid token count per slot."""
+    """k/v: [L, B, Hkv, Smax, D]; lengths: [B] valid token count per slot.
+
+    int8 mode (the north star's int8 KV): k/v hold per-element int8
+    codes and k_scale/v_scale hold per-(layer, slot, head, position)
+    absmax/127 scales [L, B, Hkv, Smax]; fp mode leaves the scales None.
+    """
 
     k: Array
     v: Array
     lengths: Array
+    k_scale: Optional[Array] = None
+    v_scale: Optional[Array] = None
 
     @property
     def max_len(self) -> int:
@@ -56,10 +63,16 @@ def init_kv_cache(
 ) -> KVCache:
     max_len = max_len or cfg.max_seq_len
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+    dtype = jnp.dtype(dtype)
+    scales = None
+    if dtype == jnp.int8:
+        scales = jnp.zeros(shape[:-1], jnp.float32)
     return KVCache(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
         lengths=jnp.zeros((batch,), jnp.int32),
+        k_scale=scales,
+        v_scale=None if scales is None else jnp.zeros(shape[:-1], jnp.float32),
     )
 
 
@@ -78,11 +91,31 @@ def _write_cache(cache_l: Array, new: Array, start: Array) -> Array:
     return jax.vmap(upd)(cache_l, new, start)
 
 
+def _write_scale(scale_l: Array, new: Array, start: Array) -> Array:
+    """scale_l: [B, H, Smax]; new: [B, H, S]; start: [B]."""
+
+    def upd(c, n, s):
+        return jax.lax.dynamic_update_slice(c, n, (0, s))
+
+    return jax.vmap(upd)(scale_l, new, start)
+
+
+def _quantize_kv(x: Array):
+    """[B, H, S, D] -> int8 codes + per-(B,H,S) absmax/127 scale."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 def _layer(
     h: Array,
     lp: Params,
     kc: Array,
     vc: Array,
+    ksc: Optional[Array],
+    vsc: Optional[Array],
     cfg: ModelConfig,
     rot_cos: Array,
     rot_sin: Array,
@@ -110,12 +143,24 @@ def _layer(
     k = apply_rotary(k, rot_cos, rot_sin, positions, cfg.rotary_style)
 
     # [B, S, H, D] -> [B, H, S, D]
-    k_bhsd = k.transpose(0, 2, 1, 3).astype(kc.dtype)
-    v_bhsd = v.transpose(0, 2, 1, 3).astype(vc.dtype)
-    kc = _write_cache(kc, k_bhsd, start)
-    vc = _write_cache(vc, v_bhsd, start)
+    k_bhsd = k.transpose(0, 2, 1, 3)
+    v_bhsd = v.transpose(0, 2, 1, 3)
+    if kc.dtype == jnp.int8:
+        kq, ks = _quantize_kv(k_bhsd)
+        vq, vs = _quantize_kv(v_bhsd)
+        kc = _write_cache(kc, kq, start)
+        vc = _write_cache(vc, vq, start)
+        ksc = _write_scale(ksc, ks, start)
+        vsc = _write_scale(vsc, vs, start)
+        k_attn = (kc.astype(jnp.float32) * ksc[..., None]).astype(q.dtype)
+        v_attn = (vc.astype(jnp.float32) * vsc[..., None]).astype(q.dtype)
+    else:
+        kc = _write_cache(kc, k_bhsd.astype(kc.dtype), start)
+        vc = _write_cache(vc, v_bhsd.astype(vc.dtype), start)
+        k_attn = kc.astype(q.dtype)
+        v_attn = vc.astype(q.dtype)
 
-    attn = attend(q.transpose(0, 2, 1, 3), kc.astype(q.dtype), vc.astype(q.dtype), start)
+    attn = attend(q.transpose(0, 2, 1, 3), k_attn, v_attn, start)
     attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nh * d)
     attn_out = qmatmul(attn, lp["wo"], lp.get("bo"))
 
@@ -137,7 +182,7 @@ def _layer(
         h = h + attn_out + mlp_out
     else:
         h = h + mlp_out
-    return h, kc, vc
+    return h, kc, vc, ksc, vsc
 
 
 def forward(
@@ -178,11 +223,15 @@ def forward(
 
     def body(carry, xs):
         hh = carry
-        lp, kc, vc = xs
-        hh, kc, vc = _layer(hh, lp, kc, vc, cfg, rot_cos, rot_sin, positions, start)
-        return hh, (kc, vc)
+        lp, kc, vc, ksc, vsc = xs
+        hh, kc, vc, ksc, vsc = _layer(
+            hh, lp, kc, vc, ksc, vsc, cfg, rot_cos, rot_sin, positions, start
+        )
+        return hh, (kc, vc, ksc, vsc)
 
-    h, (k_new, v_new) = jax.lax.scan(body, h, (params["layers"], cache.k, cache.v))
+    h, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
+        body, h, (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
+    )
 
     h = _norm(h, params["final_ln"]["w"], params["final_ln"].get("b"), cfg)
     if last_only:
@@ -198,7 +247,10 @@ def forward(
     if last_only:
         logits = logits[:, 0, :]
 
-    new_cache = KVCache(k=k_new, v=v_new, lengths=cache.lengths + seq_lens)
+    new_cache = KVCache(
+        k=k_new, v=v_new, lengths=cache.lengths + seq_lens,
+        k_scale=ks_new, v_scale=vs_new,
+    )
     return logits, new_cache
 
 

@@ -134,16 +134,22 @@ def shard_params(params, mesh: Mesh):
     return jax.device_put(params, param_shardings(params, mesh))
 
 
-def cache_shardings(mesh: Mesh) -> KVCache:
+def cache_shardings(mesh: Mesh, int8: bool = False) -> KVCache:
     """[L, B, H, Smax, D]: batch over dp, heads over tp."""
     kv = NamedSharding(mesh, P(None, "dp", "tp", None, None))
-    return KVCache(k=kv, v=kv, lengths=NamedSharding(mesh, P("dp")))
+    sc = NamedSharding(mesh, P(None, "dp", "tp", None)) if int8 else None
+    return KVCache(
+        k=kv, v=kv, lengths=NamedSharding(mesh, P("dp")), k_scale=sc, v_scale=sc
+    )
 
 
 def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
-    s = cache_shardings(mesh)
+    s = cache_shardings(mesh, int8=cache.k_scale is not None)
+    put = lambda a, sh: None if a is None else jax.device_put(a, sh)
     return KVCache(
         k=jax.device_put(cache.k, s.k),
         v=jax.device_put(cache.v, s.v),
         lengths=jax.device_put(cache.lengths, s.lengths),
+        k_scale=put(cache.k_scale, s.k_scale),
+        v_scale=put(cache.v_scale, s.v_scale),
     )
