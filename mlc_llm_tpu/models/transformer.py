@@ -82,22 +82,29 @@ def _norm(x, w, b, cfg: ModelConfig):
     return layer_norm(x, w, b, cfg.norm_eps)
 
 
-def _write_cache(cache_l: Array, new: Array, start: Array) -> Array:
-    """cache_l: [B, H, Smax, D]; new: [B, H, S, D]; start: [B]."""
+def _write_tokens(cache: Array, new: Array, l: Array, start: Array) -> Array:
+    """cache: [L, B, H, Smax, D]; new: [B, H, S, D]; start: [B].
 
-    def upd(c, n, s):
-        return jax.lax.dynamic_update_slice(c, n, (0, s, 0))
+    Writes ONLY the new token block of layer l per batch slot. The
+    cache rides the layer scan as a carry, so XLA aliases the buffer
+    and these are true in-place writes — the stacked-ys formulation
+    copied the whole cache every step (~1 GB/step at 7B)."""
+    B = new.shape[0]
+    for b in range(B):
+        cache = jax.lax.dynamic_update_slice(
+            cache, new[b][None, None], (l, b, 0, start[b], 0)
+        )
+    return cache
 
-    return jax.vmap(upd)(cache_l, new, start)
 
-
-def _write_scale(scale_l: Array, new: Array, start: Array) -> Array:
-    """scale_l: [B, H, Smax]; new: [B, H, S]; start: [B]."""
-
-    def upd(c, n, s):
-        return jax.lax.dynamic_update_slice(c, n, (0, s))
-
-    return jax.vmap(upd)(scale_l, new, start)
+def _write_token_scales(cache: Array, new: Array, l: Array, start: Array) -> Array:
+    """cache: [L, B, H, Smax]; new: [B, H, S]; start: [B]."""
+    B = new.shape[0]
+    for b in range(B):
+        cache = jax.lax.dynamic_update_slice(
+            cache, new[b][None, None], (l, b, 0, start[b])
+        )
+    return cache
 
 
 def _quantize_kv(x: Array):
@@ -112,16 +119,17 @@ def _quantize_kv(x: Array):
 def _layer(
     h: Array,
     lp: Params,
-    kc: Array,
-    vc: Array,
-    ksc: Optional[Array],
-    vsc: Optional[Array],
+    ck: Array,
+    cv: Array,
+    cks: Optional[Array],
+    cvs: Optional[Array],
+    l: Array,
     cfg: ModelConfig,
     rot_cos: Array,
     rot_sin: Array,
     positions: Array,
     start: Array,
-) -> Tuple[Array, Array, Array]:
+):
     B, S, H = h.shape
     nh, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
@@ -142,21 +150,29 @@ def _layer(
     q = apply_rotary(q, rot_cos, rot_sin, positions, cfg.rotary_style)
     k = apply_rotary(k, rot_cos, rot_sin, positions, cfg.rotary_style)
 
-    # [B, S, H, D] -> [B, H, S, D]
+    # [B, S, H, D] -> [B, H, S, D]; write the new tokens in place,
+    # then read layer l back for attention (the slice fuses into the
+    # attention dot)
     k_bhsd = k.transpose(0, 2, 1, 3)
     v_bhsd = v.transpose(0, 2, 1, 3)
-    if kc.dtype == jnp.int8:
+    if ck.dtype == jnp.int8:
         kq, ks = _quantize_kv(k_bhsd)
         vq, vs = _quantize_kv(v_bhsd)
-        kc = _write_cache(kc, kq, start)
-        vc = _write_cache(vc, vq, start)
-        ksc = _write_scale(ksc, ks, start)
-        vsc = _write_scale(vsc, vs, start)
+        ck = _write_tokens(ck, kq, l, start)
+        cv = _write_tokens(cv, vq, l, start)
+        cks = _write_token_scales(cks, ks, l, start)
+        cvs = _write_token_scales(cvs, vs, l, start)
+        kc = jax.lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
+        vc = jax.lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
+        ksc = jax.lax.dynamic_index_in_dim(cks, l, 0, keepdims=False)
+        vsc = jax.lax.dynamic_index_in_dim(cvs, l, 0, keepdims=False)
         k_attn = (kc.astype(jnp.float32) * ksc[..., None]).astype(q.dtype)
         v_attn = (vc.astype(jnp.float32) * vsc[..., None]).astype(q.dtype)
     else:
-        kc = _write_cache(kc, k_bhsd.astype(kc.dtype), start)
-        vc = _write_cache(vc, v_bhsd.astype(vc.dtype), start)
+        ck = _write_tokens(ck, k_bhsd.astype(ck.dtype), l, start)
+        cv = _write_tokens(cv, v_bhsd.astype(cv.dtype), l, start)
+        kc = jax.lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
+        vc = jax.lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
         k_attn = kc.astype(q.dtype)
         v_attn = vc.astype(q.dtype)
 
@@ -182,7 +198,7 @@ def _layer(
         h = h + attn_out + mlp_out
     else:
         h = h + mlp_out
-    return h, kc, vc, ksc, vsc
+    return h, ck, cv, cks, cvs
 
 
 def forward(
@@ -222,15 +238,17 @@ def forward(
     rot_cos, rot_sin = params["rotary"]["cos"], params["rotary"]["sin"]
 
     def body(carry, xs):
-        hh = carry
-        lp, kc, vc, ksc, vsc = xs
-        hh, kc, vc, ksc, vsc = _layer(
-            hh, lp, kc, vc, ksc, vsc, cfg, rot_cos, rot_sin, positions, start
+        hh, ck, cv, cks, cvs = carry
+        lp, l = xs
+        hh, ck, cv, cks, cvs = _layer(
+            hh, lp, ck, cv, cks, cvs, l, cfg, rot_cos, rot_sin, positions, start
         )
-        return hh, (kc, vc, ksc, vsc)
+        return (hh, ck, cv, cks, cvs), None
 
-    h, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
-        body, h, (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
+    (h, k_new, v_new, ks_new, vs_new), _ = jax.lax.scan(
+        body,
+        (h, cache.k, cache.v, cache.k_scale, cache.v_scale),
+        (params["layers"], jnp.arange(cfg.num_layers, dtype=jnp.int32)),
     )
 
     h = _norm(h, params["final_ln"]["w"], params["final_ln"].get("b"), cfg)
