@@ -22,7 +22,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import attend
+from ..ops.attention import attend_cache
 from ..ops.matmul import qmatmul
 from ..quant.groupwise import QuantizedTensor, quantize, take_dequantize
 from ..quant.spec import QuantSpec, resolve_spec
@@ -166,17 +166,14 @@ def _layer(
         vc = jax.lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
         ksc = jax.lax.dynamic_index_in_dim(cks, l, 0, keepdims=False)
         vsc = jax.lax.dynamic_index_in_dim(cvs, l, 0, keepdims=False)
-        k_attn = (kc.astype(jnp.float32) * ksc[..., None]).astype(q.dtype)
-        v_attn = (vc.astype(jnp.float32) * vsc[..., None]).astype(q.dtype)
     else:
         ck = _write_tokens(ck, k_bhsd.astype(ck.dtype), l, start)
         cv = _write_tokens(cv, v_bhsd.astype(cv.dtype), l, start)
         kc = jax.lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
         vc = jax.lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
-        k_attn = kc.astype(q.dtype)
-        v_attn = vc.astype(q.dtype)
+        ksc = vsc = None
 
-    attn = attend(q.transpose(0, 2, 1, 3), k_attn, v_attn, start)
+    attn = attend_cache(q.transpose(0, 2, 1, 3), kc, vc, ksc, vsc, start)
     attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nh * d)
     attn_out = qmatmul(attn, lp["wo"], lp.get("bo"))
 
@@ -321,12 +318,12 @@ def init_random_params(
     if fabricate and spec.is_quantized:
 
         def fab(k, n, fspec=None):
-            from ..quant.groupwise import LANE_PAD
+            from ..quant.groupwise import pad_cols
 
             fspec = fspec or spec
             g = fspec.group_size
             ngroups = -(-k // g)
-            n_logical, n = n, -(-n // LANE_PAD) * LANE_PAD
+            n_logical, n = n, pad_cols(n)
             if fspec.storage == "u4":
                 data = jax.random.randint(
                     nxt(), (ngroups * g, n), 0, 15, jnp.uint8

@@ -10,6 +10,8 @@ with dynamic_update_slice — XLA-friendly, no dynamic shapes.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -53,3 +55,48 @@ def attend(
         "bhqk,bhkd->bhqd", probs.astype(q.dtype), v, preferred_element_type=jnp.float32
     )
     return out.astype(q.dtype)
+
+
+def attend_cache(
+    q: Array,
+    kc: Array,
+    vc: Array,
+    ksc: Optional[Array],
+    vsc: Optional[Array],
+    q_pos: Array,
+) -> Array:
+    """Attention of a query block against the (possibly int8) cache.
+
+    q: [B, Hq, Sq, D]; kc/vc: [B, Hkv, Smax, D] cache contents (current
+    tokens already written); ksc/vsc: int8-mode scales [B, Hkv, Smax].
+    Routes the Sq==1 decode case to the flash-decode Pallas kernel
+    (variable-length KV reads); falls back to dense jnp attention.
+    """
+    from . import kernel_mode
+
+    B, Hq, Sq, D = q.shape
+    Smax = kc.shape[2]
+    mode = kernel_mode()
+    # NOTE: auto mode keeps the jnp path for now — with the [B,H,S,D]
+    # cache layout the kernel's HBM DMAs are 256-byte-contiguous and
+    # measure ~112 GB/s vs XLA's einsum; it wins only after the S-major
+    # cache layout refactor. "pallas" mode forces it (tests/benchmarks).
+    use_kernel = Sq == 1 and Hq == kc.shape[1] and mode == "pallas"
+    if use_kernel:
+        from .pallas.decode_attention import (
+            decode_attention,
+            decode_attention_supported,
+        )
+
+        use_kernel = decode_attention_supported(Smax, D)
+    if use_kernel:
+        out = decode_attention(q[:, :, 0, :], kc, vc, q_pos + 1, ksc, vsc)
+        return out[:, :, None, :]
+
+    if ksc is not None:
+        k = (kc.astype(jnp.float32) * ksc[..., None]).astype(q.dtype)
+        v = (vc.astype(jnp.float32) * vsc[..., None]).astype(q.dtype)
+    else:
+        k = kc.astype(q.dtype)
+        v = vc.astype(q.dtype)
+    return attend(q, k, v, q_pos)

@@ -69,7 +69,26 @@ def _pick_blocks(m: int, kw: int, n: int, words_per_group: int):
             break
     if bkw is None:
         bkw = kw  # full k axis in one step
-    bn = _largest_divisor(n, (512, 384, 256, 128)) or 128
+
+    # choose bn as wide as the VMEM budget allows: wider blocks mean
+    # longer contiguous HBM rows (bn*4 bytes) — the difference between
+    # ~200 GB/s and ~950 GB/s effective on large-n weights
+    budget = 12 * 1024 * 1024
+    bn = None
+    for c in (2048, 1024, 512, 384, 256, 128):
+        if c > n or n % c != 0:
+            continue
+        need = (
+            2 * bkw * c * 4          # double-buffered packed tile
+            + 4 * (bkw // max(words_per_group, 1)) * c * 2  # scale+zero x2 buf
+            + 2 * 8 * bm * bkw * 2   # x planes
+            + bm * c * 4             # accumulator
+        )
+        if need <= budget:
+            bn = c
+            break
+    if bn is None:
+        bn = _largest_divisor(n, (512, 384, 256, 128)) or 128
     return bm, bkw, bn
 
 

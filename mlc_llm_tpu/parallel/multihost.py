@@ -1,0 +1,97 @@
+"""Multi-host serving over ICI + DCN.
+
+The reference is strictly single-device (SURVEY.md §2.9/§5.8); this is
+the north-star scale-out path:
+
+- `initialize()` wraps jax.distributed.initialize (coordinator
+  discovery via env or explicit args)
+- `make_pod_mesh()` builds a ('dcn', 'dp', 'tp') mesh where 'tp' spans
+  chips WITHIN a host slice (collectives ride ICI) and 'dcn' spans
+  hosts — weights are tp-sharded intra-host and replicated across the
+  dcn axis, so decode all-reduces never cross DCN; requests are
+  data-parallel across hosts (cross-host continuous batching routes
+  whole requests, not activations)
+- param/cache shardings reuse parallel.sharding rules with the dcn
+  axis prepended as replication
+
+Multi-host hardware is not reachable in this environment; dryrun tests
+exercise the mesh/sharding logic on the virtual CPU mesh with a
+dcn axis of size >= 1 (the GSPMD program is identical modulo axis
+sizes).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from .sharding import param_shardings as _tp_param_shardings
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """jax.distributed bring-up. No-op when single-process and no
+    coordinator is configured."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    coord = coordinator_address or os.environ.get("MLC_COORDINATOR")
+    if coord is None and num_processes in (None, 1):
+        return
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_pod_mesh(
+    tp: Optional[int] = None,
+    dp: int = 1,
+    dcn: Optional[int] = None,
+    devices=None,
+) -> Mesh:
+    """('dcn', 'dp', 'tp') mesh.
+
+    tp defaults to local_device_count (one host's chips = one TP group);
+    dcn defaults to process_count. Device order follows jax.devices(),
+    which groups by process — so the dcn axis maps to host boundaries
+    and tp stays inside a host's ICI domain.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dcn is None:
+        dcn = max(1, jax.process_count())
+    if tp is None:
+        tp = n // (dcn * dp)
+    assert dcn * dp * tp <= n, (dcn, dp, tp, n)
+    arr = np.asarray(devices[: dcn * dp * tp]).reshape(dcn, dp, tp)
+    return Mesh(arr, ("dcn", "dp", "tp"))
+
+
+def pod_param_shardings(params, mesh: Mesh):
+    """TP rules with replication over the 'dcn' axis (weights are
+    replicated per host group; only 'tp'/'dp' appear in specs, which
+    GSPMD interprets as replicated over the remaining 'dcn' axis)."""
+    return _tp_param_shardings(params, mesh)
+
+
+def shard_params_pod(params, mesh: Mesh):
+    return jax.device_put(params, pod_param_shardings(params, mesh))
+
+
+def process_local_slots(total_slots: int) -> range:
+    """Partition continuous-batching slots across hosts (each host's
+    scheduler owns a contiguous slot range; requests never migrate)."""
+    pc = max(1, jax.process_count())
+    pid = jax.process_index()
+    per = total_slots // pc
+    start = pid * per
+    end = start + per if pid < pc - 1 else total_slots
+    return range(start, end)

@@ -23,8 +23,17 @@ from .spec import QuantSpec, resolve_spec
 
 Array = jax.Array
 
-# packed columns are padded to this lane multiple (TPU tiling)
-LANE_PAD = 128
+# packed columns are padded so kernel blocks can be wide: large-n
+# weights pad to 1024 lanes (the dequant-matmul kernel then uses
+# 2048-lane blocks whose HBM rows are 8 KB contiguous — narrow blocks
+# at large n measured ~200 GB/s vs ~950 GB/s from stride-limited DMA),
+# small-n weights pad to the 128-lane tile minimum.
+def pad_cols(n: int) -> int:
+    mult = 1024 if n >= 4096 else 128
+    return -(-n // mult) * mult
+
+
+LANE_PAD = 128  # retained for callers that only need the tile minimum
 
 
 @jax.tree_util.register_dataclass
@@ -179,9 +188,9 @@ def _quantize_impl(w: Array, spec: QuantSpec):
         if k_words != k_pad:
             codes = jnp.pad(codes, ((0, k_words - k_pad), (0, 0)))
         data = _pack_words(codes, spec)
-    # pad n (lanes) to a multiple of 128 for TPU tiling; padded columns
+    # pad n (lanes) for TPU tiling + wide kernel blocks; padded columns
     # decode to 0 by construction and are sliced off on the way out
-    n_pad = -(-n // LANE_PAD) * LANE_PAD
+    n_pad = pad_cols(n)
     if n_pad != n:
         data = jnp.pad(data, ((0, 0), (0, n_pad - n)))
         scale_st = jnp.pad(scale_st, ((0, 0), (0, n_pad - n)))
