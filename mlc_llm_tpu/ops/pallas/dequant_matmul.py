@@ -70,25 +70,13 @@ def _pick_blocks(m: int, kw: int, n: int, words_per_group: int):
     if bkw is None:
         bkw = kw  # full k axis in one step
 
-    # choose bn as wide as the VMEM budget allows: wider blocks mean
-    # longer contiguous HBM rows (bn*4 bytes) — the difference between
-    # ~200 GB/s and ~950 GB/s effective on large-n weights
-    budget = 12 * 1024 * 1024
-    bn = None
-    for c in (2048, 1024, 512, 384, 256, 128):
-        if c > n or n % c != 0:
-            continue
-        need = (
-            2 * bkw * c * 4          # double-buffered packed tile
-            + 4 * (bkw // max(words_per_group, 1)) * c * 2  # scale+zero x2 buf
-            + 2 * 8 * bm * bkw * 2   # x planes
-            + bm * c * 4             # accumulator
-        )
-        if need <= budget:
-            bn = c
-            break
-    if bn is None:
-        bn = _largest_divisor(n, (512, 384, 256, 128)) or 128
+    # (bkw=512, bn=512)-class blocks measured fastest on-chip; wider bn
+    # (2048) and a column-tiled 3-D layout were both tried and REGRESSED
+    # (Mosaic pipelining/VMEM effects dominate the DMA-stride theory).
+    bn = _largest_divisor(n, (512, 384, 256, 128)) or 128
+    # VMEM guard for the double-buffered tiles
+    while bkw * bn * 4 * 2 > 6 * 1024 * 1024 and bkw > 256:
+        bkw //= 2
     return bm, bkw, bn
 
 
