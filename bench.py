@@ -72,6 +72,22 @@ def main():
         _readback(triv(jnp.float32(i)))
     rtt = (time.perf_counter() - t0) / 3
 
+    # measure ACHIEVABLE HBM read bandwidth (this environment's chip has
+    # been observed at ~200 GB/s sustained vs the 819 GB/s v5e spec —
+    # possibly a virtualization cap/contention; report both rooflines)
+    measured_bw = None
+    if not on_cpu:
+        buf = jax.random.bits(jax.random.PRNGKey(1), (256, 1024, 1024), jnp.uint32)
+        red = jax.jit(lambda w, s: (w >> 4).sum(dtype=jnp.uint32) + s)
+        s = red(buf, jnp.uint32(0))
+        _readback(s)
+        t0 = time.perf_counter()
+        for _ in range(8):
+            s = red(buf, s)
+        _readback(s)
+        measured_bw = 8 * buf.nbytes / (time.perf_counter() - t0 - rtt)
+        del buf, s
+
     @partial(jax.jit, static_argnames=("last_only",))
     def prefill(params, tokens, seq_lens, cache, last_only=True):
         return forward(params, cfg, tokens, cache, seq_lens=seq_lens, last_only=last_only)
@@ -141,11 +157,15 @@ def main():
         "backend": backend,
         "ttft_ms_ctx128": round(ttft_ms, 1),
         "roofline_tok_s": round(roofline, 1),
-        "pct_of_roofline": round(100 * tok_s / roofline, 1),
+        "pct_of_spec_roofline": round(100 * tok_s / roofline, 1),
         "weight_bytes": weight_bytes,
         "rtt_ms": round(rtt * 1e3, 1),
-        "note": "vs_baseline = tok_s/(0.9*HBM roofline); on-device scan loop, long-minus-short timing",
+        "note": "vs_baseline = tok_s/(0.9*819GB/s roofline); on-device loop, long-minus-short timing",
     }
+    if measured_bw is not None:
+        measured_roofline = measured_bw / bytes_per_token
+        result["measured_hbm_gbps"] = round(measured_bw / 1e9, 1)
+        result["pct_of_measured_roofline"] = round(100 * tok_s / measured_roofline, 1)
     print(json.dumps(result))
 
 

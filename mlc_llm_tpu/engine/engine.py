@@ -77,17 +77,24 @@ class InferenceEngine:
                 seq_lens=seq_lens, last_only=last_only,
             )
 
-        @partial(jax.jit, donate_argnames=("cache",))
-        def _decode_sample(params, tokens, cache, key, temperature, top_p, active):
+        @partial(
+            jax.jit, donate_argnames=("cache",), static_argnames=("attn_window",)
+        )
+        def _decode_sample(
+            params, tokens, cache, key, temperature, top_p, active,
+            attn_window=None,
+        ):
             """One decode step + on-device sampling.
 
             tokens: [B, 1]; active: [B] bool — inactive slots don't
             advance their cache length (their token is still computed
-            but the slot state is frozen).
+            but the slot state is frozen). attn_window (static) bounds
+            the cache read: one program per window bucket.
             """
             seq_lens = active.astype(jnp.int32)
             logits, cache = forward(
-                params, cfg_static, tokens, cache, seq_lens=seq_lens, last_only=True
+                params, cfg_static, tokens, cache, seq_lens=seq_lens,
+                last_only=True, attn_window=attn_window,
             )
             key, sub = jax.random.split(key)
             nxt = sample_token(logits, sub, temperature, top_p)
@@ -142,6 +149,13 @@ class InferenceEngine:
         self._sample_logits = jax.jit(
             lambda logits, key, t, p: sample_token(logits, key, t, p)
         )
+
+    def decode_window(self, max_len_next: int) -> int:
+        """Static attention-window bucket covering max_len_next."""
+        for b in self.buckets:
+            if max_len_next <= b:
+                return b
+        return self.max_seq_len
 
     # ------------------------------------------------------------------ utils
     def bucket_for(self, n: int) -> int:
@@ -237,10 +251,14 @@ class InferenceEngine:
 
         active_np = np.zeros((B,), bool)
         active_np[:n] = True
+        max_len_host = int(cur_lens[:n].max())
         try:
             for _ in range(max_steps - 1):
+                max_len_host += 1
                 nxt, self.cache, key = self._decode_sample(
-                    self.params, cur, self.cache, key, t, p, jnp.asarray(active_np)
+                    self.params, cur, self.cache, key, t, p,
+                    jnp.asarray(active_np),
+                    attn_window=self.decode_window(max_len_host + 1),
                 )
                 pending.append(nxt)
                 cur = nxt[:, None]

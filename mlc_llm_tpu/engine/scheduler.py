@@ -143,6 +143,10 @@ class ContinuousBatchingScheduler:
             topp[slot] = req.gen.top_p
             owners.append((slot, req.id))
         self._key, sub = jax.random.split(self._key)
+        max_len = max(
+            (len(r.prompt) + len(r.output) + 2 for r in self.active.values()),
+            default=2,
+        )
         nxt, eng.cache, _ = eng._decode_sample(
             eng.params,
             self._cur_tokens,
@@ -151,6 +155,7 @@ class ContinuousBatchingScheduler:
             jnp.asarray(temp),
             jnp.asarray(topp),
             jnp.asarray(active),
+            attn_window=eng.decode_window(max_len),
         )
         self._pending_tokens.append(nxt)
         self._pending_slots.append(owners)

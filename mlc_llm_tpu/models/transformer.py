@@ -129,6 +129,7 @@ def _layer(
     rot_sin: Array,
     positions: Array,
     start: Array,
+    attn_window: Optional[int] = None,
 ):
     B, S, H = h.shape
     nh, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -166,11 +167,19 @@ def _layer(
         vc = jax.lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
         ksc = jax.lax.dynamic_index_in_dim(cks, l, 0, keepdims=False)
         vsc = jax.lax.dynamic_index_in_dim(cvs, l, 0, keepdims=False)
+        if attn_window is not None:
+            kc = kc[:, :, :attn_window]
+            vc = vc[:, :, :attn_window]
+            ksc = ksc[:, :, :attn_window]
+            vsc = vsc[:, :, :attn_window]
     else:
         ck = _write_tokens(ck, k_bhsd.astype(ck.dtype), l, start)
         cv = _write_tokens(cv, v_bhsd.astype(cv.dtype), l, start)
         kc = jax.lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
         vc = jax.lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
+        if attn_window is not None:
+            kc = kc[:, :, :attn_window]
+            vc = vc[:, :, :attn_window]
         ksc = vsc = None
 
     attn = attend_cache(q.transpose(0, 2, 1, 3), kc, vc, ksc, vsc, start)
@@ -206,6 +215,7 @@ def forward(
     *,
     seq_lens: Optional[Array] = None,
     last_only: bool = True,
+    attn_window: Optional[int] = None,
 ) -> Tuple[Array, KVCache]:
     """Run the decoder over a token block appended at each slot's length.
 
@@ -214,6 +224,10 @@ def forward(
     are right-padding. Padded positions write junk K/V past the slot's
     length, but every future step writes its own position before
     attending to it, so the junk is never visible.
+    attn_window: static bound on valid cache length (caller guarantees
+    lengths + S <= attn_window); attention then reads only the first
+    attn_window cache positions instead of the full Smax buffer — the
+    engine compiles one decode program per window bucket.
     Returns (logits fp32 [B, V] if last_only — taken at each slot's
     LAST REAL token — else [B, S, V]; new cache with lengths advanced
     by seq_lens).
@@ -238,7 +252,8 @@ def forward(
         hh, ck, cv, cks, cvs = carry
         lp, l = xs
         hh, ck, cv, cks, cvs = _layer(
-            hh, lp, ck, cv, cks, cvs, l, cfg, rot_cos, rot_sin, positions, start
+            hh, lp, ck, cv, cks, cvs, l, cfg, rot_cos, rot_sin, positions, start,
+            attn_window,
         )
         return (hh, ck, cv, cks, cvs), None
 

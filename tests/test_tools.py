@@ -1,0 +1,80 @@
+"""Perplexity tool, compare tool, and windowed-decode equivalence."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from mlc_llm_tpu.models import forward, get_config, init_kv_cache, init_random_params
+
+
+def test_perplexity_uniform_sanity():
+    from mlc_llm_tpu.ppl import perplexity
+
+    cfg = get_config("tiny-llama")
+    params = init_random_params(cfg, "f32", seed=0)
+    toks = np.random.default_rng(0).integers(0, cfg.vocab_size, 300, dtype=np.int32)
+    res = perplexity(params, cfg, toks, window=64, stride=32,
+                     cache_dtype=jnp.float32)
+    # random weights ~ uniform prediction -> ppl near vocab size
+    assert 100 < res["perplexity"] < 600
+    assert res["tokens_scored"] > 200
+
+
+def test_quantized_ppl_close_to_dense():
+    from mlc_llm_tpu.ppl import perplexity
+
+    cfg = get_config("tiny-llama")
+    dense = init_random_params(cfg, "f32", seed=1)
+    toks = np.random.default_rng(1).integers(0, cfg.vocab_size, 200, dtype=np.int32)
+    a = perplexity(dense, cfg, toks, window=64, stride=32, cache_dtype=jnp.float32)
+    from mlc_llm_tpu.models.transformer import init_random_params as irp
+
+    q8 = irp(cfg, "q8bf16", seed=1)
+    b = perplexity(q8, cfg, toks, window=64, stride=32)
+    assert abs(np.log(a["perplexity"]) - np.log(b["perplexity"])) < 0.1
+
+
+def test_compare_tool_passes_reference_tolerance():
+    from mlc_llm_tpu.debug.compare import compare_paths
+
+    cfg = get_config("tiny-gpt_neox")
+    params = init_random_params(cfg, "q4bf16", seed=2)
+    rows = compare_paths(cfg, params, jnp.asarray([[1, 2, 3, 4]], jnp.int32))
+    assert all(ok for _, _, ok in rows), rows
+
+
+def test_windowed_decode_matches_full_window():
+    cfg = get_config("tiny-llama")
+    params = init_random_params(cfg, "f32", seed=3)
+    toks = jnp.asarray([[5, 6, 7, 8, 9]], jnp.int32)
+
+    c1 = init_kv_cache(cfg, 1, 128, jnp.float32)
+    _, c1 = forward(params, cfg, toks, c1)
+    full, _ = forward(params, cfg, jnp.asarray([[3]], jnp.int32), c1)
+
+    c2 = init_kv_cache(cfg, 1, 128, jnp.float32)
+    _, c2 = forward(params, cfg, toks, c2)
+    win, _ = forward(
+        params, cfg, jnp.asarray([[3]], jnp.int32), c2, attn_window=16
+    )
+    np.testing.assert_allclose(np.asarray(win), np.asarray(full), atol=1e-5)
+
+
+def test_engine_window_switching():
+    from mlc_llm_tpu.engine import GenerationConfig, InferenceEngine
+
+    cfg = get_config("tiny-llama")
+    params = init_random_params(cfg, "f32", seed=4)
+    eng = InferenceEngine(cfg, params, max_batch=1, max_seq_len=64,
+                          prefill_buckets=(8, 16, 32, 64))
+    # prompt of 14 -> window crosses the 16-bucket into 32 mid-generation
+    out = eng.generate(
+        [list(range(2, 16))], GenerationConfig(max_new_tokens=10, temperature=0.0)
+    )
+    assert len(out[0]) == 10
+    # same result as a fat-window engine
+    eng2 = InferenceEngine(cfg, params, max_batch=1, max_seq_len=64,
+                           prefill_buckets=(64,))
+    out2 = eng2.generate(
+        [list(range(2, 16))], GenerationConfig(max_new_tokens=10, temperature=0.0)
+    )
+    assert out == out2
