@@ -81,24 +81,33 @@ def main():
         red = jax.jit(lambda w, s: (w >> 4).sum(dtype=jnp.uint32) + s)
         s = red(buf, jnp.uint32(0))
         _readback(s)
-        t0 = time.perf_counter()
-        for _ in range(8):
-            s = red(buf, s)
-        _readback(s)
-        measured_bw = 8 * buf.nbytes / (time.perf_counter() - t0 - rtt)
+
+        def reduce_n(n):
+            nonlocal s
+            t0 = time.perf_counter()
+            for _ in range(n):
+                s = red(buf, s)
+            _readback(s)
+            return time.perf_counter() - t0
+
+        t2, t10 = reduce_n(2), reduce_n(10)
+        measured_bw = 8 * buf.nbytes / max(t10 - t2, 1e-6)
         del buf, s
 
     @partial(jax.jit, static_argnames=("last_only",))
     def prefill(params, tokens, seq_lens, cache, last_only=True):
         return forward(params, cfg, tokens, cache, seq_lens=seq_lens, last_only=last_only)
 
-    @partial(jax.jit, donate_argnames=("cache",))
-    def decode_n(params, tok, cache, key, n):
+    @partial(jax.jit, donate_argnames=("cache",), static_argnames=("window",))
+    def decode_n(params, tok, cache, key, n, window=None):
         # dynamic-bound fori_loop: ONE executable serves any n (keeps
-        # Pallas/Mosaic compile cost to a single pass)
+        # Pallas/Mosaic compile cost to a single pass); window bounds
+        # the attention read statically (ctx 128 + 72 steps < 256)
         def body(_, carry):
             tok, cache, key = carry
-            logits, cache = forward(params, cfg, tok, cache, last_only=True)
+            logits, cache = forward(
+                params, cfg, tok, cache, last_only=True, attn_window=window
+            )
             key, sub = jax.random.split(key)
             nxt = sample_token(logits, sub, 0.7, 0.95)
             return (nxt[:, None], cache, key)
@@ -126,10 +135,12 @@ def main():
     key = jax.random.PRNGKey(0)
     tok = first[:, None]
 
+    window = None if on_cpu else 256  # ctx 128 + 80 steps fits
+
     def timed(n):
         nonlocal cache
         t0 = time.perf_counter()
-        out_tok, cache = decode_n(params, tok, cache, key, n)
+        out_tok, cache = decode_n(params, tok, cache, key, n, window=window)
         _readback(out_tok)
         return time.perf_counter() - t0
 
@@ -166,6 +177,23 @@ def main():
         measured_roofline = measured_bw / bytes_per_token
         result["measured_hbm_gbps"] = round(measured_bw / 1e9, 1)
         result["pct_of_measured_roofline"] = round(100 * tok_s / measured_roofline, 1)
+
+    # --- 8-way continuous-batching decode (north-star config 3) ------------
+    if not on_cpu:
+        del cache
+        cache8 = init_kv_cache(cfg, batch=8, max_len=max_len)
+        prompts8 = jnp.tile(prompt, (8, 1))
+        lens8 = jnp.full((8,), context_len, jnp.int32)
+        logits8, cache8 = prefill(params, prompts8, lens8, cache8)
+        tok8 = jnp.argmax(logits8, -1).astype(jnp.int32)[:, None]
+        t8 = {}
+        for n in (2, n_short, n_long):
+            t0 = time.perf_counter()
+            out_tok, cache8 = decode_n(params, tok8, cache8, key, n, window=window)
+            _readback(out_tok)
+            t8[n] = time.perf_counter() - t0
+        per8 = (t8[n_long] - t8[n_short]) / (n_long - n_short)
+        result["batch8_tok_s"] = round(8 / per8, 2)
     print(json.dumps(result))
 
 

@@ -25,7 +25,7 @@ import dataclasses
 import itertools
 import time
 from collections import deque
-from typing import Callable, Deque, Dict, List, Optional, Sequence
+from typing import Callable, Deque, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -49,7 +49,7 @@ def _chain_time(fn, x0, n_short: int, n_long: int) -> float:
 
 def profile_ops(cfg, params, max_len: int, ctx_len: int) -> List[Tuple[str, float, float]]:
     """Per-op (name, ms, GB/s) rows for the decode-path hot ops."""
-    from .models.transformer import KVCache, init_kv_cache
+    from .models.transformer import init_kv_cache
     from .ops.attention import attend_cache
     from .ops.matmul import qmatmul
     from .ops.sampling import sample_token
