@@ -36,8 +36,15 @@ def qmatmul(
 
     if isinstance(w, QuantizedTensor):
         mode = kernel_mode()
+        m = 1
+        for d in x.shape[:-1]:
+            m *= d
+        # decode/gemv-class shapes go to the fused kernel (weights never
+        # materialize); big prefill blocks dequantize once and ride the
+        # MXU via XLA — the kernel would re-unpack per m-tile (VPU-bound)
         use_pallas = mode == "pallas" or (
             mode == "auto"
+            and m <= 64
             and jax.default_backend() not in ("cpu",)
             and _supported_by_pallas(w)
         )

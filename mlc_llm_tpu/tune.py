@@ -1,0 +1,139 @@
+"""Kernel block-size autotuner (the MetaSchedule-DB analog).
+
+The reference ships pruned MetaSchedule JSON databases per model
+(/root/reference/log_db/, applied at build.py:141-146). Here the only
+schedule parameters are the dequant-matmul block sizes; this tool
+sweeps candidates ON THE CURRENT BACKEND and writes
+mlc_llm_tpu/ops/pallas/tuned_blocks.json, which _pick_blocks consults
+before its heuristics.
+
+  python -m mlc_llm_tpu.tune --model vicuna-v1-7b            # sweep
+  python -m mlc_llm_tpu.tune --model dolly-v2-3b --m 1 --m 128
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TABLE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "ops", "pallas", "tuned_blocks.json"
+)
+
+
+def _bench_variant(qt, m: int, bkw: int, bn: int, steps=(16, 112)) -> float:
+    """Per-call seconds for one block config (on-device loop)."""
+    from .ops.pallas import dequant_matmul as dm
+
+    k = qt.shape[0]
+
+    @jax.jit
+    def loop(x, n):
+        def body(_, x):
+            y = dm.dequant_matmul(x, qt)
+            y = y[:, :k] if y.shape[1] >= k else jnp.pad(y, ((0, 0), (0, k - y.shape[1])))
+            return (y * 1e-3).astype(jnp.bfloat16)
+        return jax.lax.fori_loop(0, n, body, x, unroll=False)
+
+    # monkey-patch the block picker for this measurement
+    orig = dm._pick_blocks
+    dm._pick_blocks = lambda *a, **kw: (orig(*a, **kw)[0], bkw, bn)
+    try:
+        x0 = jnp.ones((m, k), jnp.bfloat16) * 0.01
+        float(jnp.asarray(loop(x0, 2)).reshape(-1)[0])
+        ts = {}
+        for s in steps:
+            t0 = time.perf_counter()
+            float(jnp.asarray(loop(x0, s)).reshape(-1)[0])
+            ts[s] = time.perf_counter() - t0
+        return (ts[steps[1]] - ts[steps[0]]) / (steps[1] - steps[0])
+    finally:
+        dm._pick_blocks = orig
+
+
+def tune_shapes(shapes, quant="q4bf16", ms=(1,), verbose=True):
+    """shapes: [(k, n)]; returns {key: [bkw, bn]} best blocks."""
+    from .ops.pallas.dequant_matmul import _largest_divisor, _pick_blocks
+    from .quant import quantize, resolve_spec
+
+    spec = resolve_spec(quant)
+    rng = np.random.default_rng(0)
+    table = {}
+    for k, n in shapes:
+        qt = quantize((rng.standard_normal((k, n)) * 0.05).astype(np.float32), spec)
+        kw = qt.data.shape[0]
+        n_stored = qt.data.shape[1]
+        wpg = -(-spec.group_size // spec.elems_per_word)
+        cands = []
+        for bkw in (1024, 512, 256, kw):
+            if bkw > kw or kw % bkw or bkw % wpg:
+                continue
+            for bn in (1024, 512, 256):
+                if n_stored % bn or bkw * bn * 8 > 8 * 1024 * 1024:
+                    continue
+                cands.append((bkw, bn))
+        cands = sorted(set(cands))
+        for m in ms:
+            best, best_t = None, float("inf")
+            for bkw, bn in cands:
+                try:
+                    t = _bench_variant(qt, m, bkw, bn)
+                except Exception as e:  # compile failure for this variant
+                    if verbose:
+                        print(f"  ({bkw},{bn}): failed {type(e).__name__}")
+                    continue
+                if verbose:
+                    bytes_ = qt.nbytes()
+                    print(f"  k={k} n={n} m={m} blocks=({bkw},{bn}): "
+                          f"{t*1e6:.1f} us ({bytes_/t/1e9:.0f} GB/s)")
+                if t < best_t:
+                    best, best_t = (bkw, bn), t
+            if best:
+                table[f"{spec.mode}:{m}:{kw}:{n_stored}"] = list(best)
+    return table
+
+
+def model_shapes(cfg):
+    H, F = cfg.hidden_size, cfg.intermediate_size
+    d, nh, nkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
+    gated = cfg.act == "silu_gated"
+    return sorted({
+        (H, (nh + 2 * nkv) * d),
+        (nh * d, H),
+        (H, 2 * F if gated else F),
+        (F, H),
+        (H, cfg.vocab_size),
+    })
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("mlc_llm_tpu.tune")
+    ap.add_argument("--model", default="vicuna-v1-7b")
+    ap.add_argument("--quantization", default="q4bf16")
+    ap.add_argument("--m", type=int, action="append", default=None)
+    ap.add_argument("-o", "--out", default=TABLE_PATH)
+    args = ap.parse_args(argv)
+
+    from .models import get_config
+
+    cfg = get_config(args.model)
+    ms = tuple(args.m) if args.m else (1,)
+    table = tune_shapes(model_shapes(cfg), args.quantization, ms)
+    existing = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            existing = json.load(f)
+    existing.update(table)
+    with open(args.out, "w") as f:
+        json.dump(existing, f, indent=1, sort_keys=True)
+    print(f"wrote {len(table)} entries to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -149,3 +149,28 @@ def test_cli_one_shot(capsys):
     ])
     out = capsys.readouterr().out
     assert isinstance(out, str)
+
+
+def test_build_then_cli_roundtrip(tmp_path, capsys):
+    """build driver -> checkpoint -> CLI one-shot (full artifact path)."""
+    from mlc_llm_tpu import build as build_mod
+    from mlc_llm_tpu import cli
+
+    out = str(tmp_path / "ck")
+    build_mod.main([
+        "--model", "tiny-llama", "--random", "--quantization", "q4bf16",
+        "-o", out, "--platform", "cpu",
+    ])
+    capsys.readouterr()
+    cli.main([
+        "--model", "tiny-llama", "--weights", out, "--platform", "cpu",
+        "--prompt", "Hey", "--max-gen-len", "3", "--temperature", "0",
+        "--seed", "1", "--max-window-size", "256",
+    ])
+    assert isinstance(capsys.readouterr().out, str)
+
+
+def test_version():
+    from mlc_llm_tpu.version import full_version
+
+    assert full_version().startswith("0.1.0+g")
