@@ -36,7 +36,14 @@ Params = Dict[str, Any]
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
-    """k/v: [L, B, Hkv, Smax, D]; lengths: [B] valid token count per slot.
+    """k: [L, B, Hkv, Smax, D]; v: [L, B, Hkv, D, Smax] (TRANSPOSED);
+    lengths: [B] valid token count per slot.
+
+    V is stored D-major so BOTH attention contractions hit minor dims
+    (scores contract D on q/k; output contracts S on probs/v) — with
+    row-major V, XLA relayouts the whole cache inside the decode
+    program (a cache-sized copy per step; observed as a 4 GB HLO temp
+    at 7B batch 8).
 
     int8 mode (the north star's int8 KV): k/v hold per-element int8
     codes and k_scale/v_scale hold per-(layer, slot, head, position)
@@ -62,17 +69,18 @@ def init_kv_cache(
     cfg: ModelConfig, batch: int, max_len: Optional[int] = None, dtype=jnp.bfloat16
 ) -> KVCache:
     max_len = max_len or cfg.max_seq_len
-    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+    kshape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+    vshape = (cfg.num_layers, batch, cfg.num_kv_heads, cfg.head_dim, max_len)
     dtype = jnp.dtype(dtype)
     scales = None
     if dtype == jnp.int8:
-        scales = jnp.zeros(shape[:-1], jnp.float32)
+        scales = jnp.zeros(kshape[:-1], jnp.float32)
     return KVCache(
-        k=jnp.zeros(shape, dtype),
-        v=jnp.zeros(shape, dtype),
+        k=jnp.zeros(kshape, dtype),
+        v=jnp.zeros(vshape, dtype),
         lengths=jnp.zeros((batch,), jnp.int32),
         k_scale=scales,
-        v_scale=None if scales is None else jnp.zeros(shape[:-1], jnp.float32),
+        v_scale=None if scales is None else jnp.zeros(kshape[:-1], jnp.float32),
     )
 
 
@@ -80,6 +88,16 @@ def _norm(x, w, b, cfg: ModelConfig):
     if cfg.norm_type == "rmsnorm":
         return rms_norm(x, w, cfg.norm_eps)
     return layer_norm(x, w, b, cfg.norm_eps)
+
+
+def _write_tokens_v(cache: Array, new: Array, l: Array, start: Array) -> Array:
+    """cache: [L, B, H, D, Smax]; new: [B, H, D, S]; start: [B]."""
+    B = new.shape[0]
+    for b in range(B):
+        cache = jax.lax.dynamic_update_slice(
+            cache, new[b][None, None], (l, b, 0, 0, start[b])
+        )
+    return cache
 
 
 def _write_tokens(cache: Array, new: Array, l: Array, start: Array) -> Array:
@@ -113,6 +131,16 @@ def _quantize_kv(x: Array):
     scale = jnp.max(jnp.abs(xf), axis=-1) / 127.0
     scale = jnp.maximum(scale, 1e-8)
     q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _quantize_kv_t(x: Array):
+    """[B, H, D, S] -> int8 codes + per-(B,H,S) absmax/127 scale
+    (reduction over D = axis 2)."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=2) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(xf / scale[:, :, None, :]), -127, 127).astype(jnp.int8)
     return q, scale
 
 
@@ -151,16 +179,16 @@ def _layer(
     q = apply_rotary(q, rot_cos, rot_sin, positions, cfg.rotary_style)
     k = apply_rotary(k, rot_cos, rot_sin, positions, cfg.rotary_style)
 
-    # [B, S, H, D] -> [B, H, S, D]; write the new tokens in place,
-    # then read layer l back for attention (the slice fuses into the
-    # attention dot)
+    # k -> [B, H, S, D]; v -> [B, H, D, S] (the cache's transposed
+    # layout); write only the new tokens in place, then read layer l
+    # back for attention (the slice fuses into the attention dot)
     k_bhsd = k.transpose(0, 2, 1, 3)
-    v_bhsd = v.transpose(0, 2, 1, 3)
+    v_bhds = v.transpose(0, 2, 3, 1)
     if ck.dtype == jnp.int8:
         kq, ks = _quantize_kv(k_bhsd)
-        vq, vs = _quantize_kv(v_bhsd)
+        vq, vs = _quantize_kv_t(v_bhds)
         ck = _write_tokens(ck, kq, l, start)
-        cv = _write_tokens(cv, vq, l, start)
+        cv = _write_tokens_v(cv, vq, l, start)
         cks = _write_token_scales(cks, ks, l, start)
         cvs = _write_token_scales(cvs, vs, l, start)
         kc = jax.lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
@@ -169,17 +197,17 @@ def _layer(
         vsc = jax.lax.dynamic_index_in_dim(cvs, l, 0, keepdims=False)
         if attn_window is not None:
             kc = kc[:, :, :attn_window]
-            vc = vc[:, :, :attn_window]
+            vc = vc[:, :, :, :attn_window]
             ksc = ksc[:, :, :attn_window]
             vsc = vsc[:, :, :attn_window]
     else:
         ck = _write_tokens(ck, k_bhsd.astype(ck.dtype), l, start)
-        cv = _write_tokens(cv, v_bhsd.astype(cv.dtype), l, start)
+        cv = _write_tokens_v(cv, v_bhds.astype(cv.dtype), l, start)
         kc = jax.lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
         vc = jax.lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
         if attn_window is not None:
             kc = kc[:, :, :attn_window]
-            vc = vc[:, :, :attn_window]
+            vc = vc[:, :, :, :attn_window]
         ksc = vsc = None
 
     attn = attend_cache(q.transpose(0, 2, 1, 3), kc, vc, ksc, vsc, start)

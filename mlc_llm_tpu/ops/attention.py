@@ -25,11 +25,15 @@ def attend(
     q_pos: Array,
     *,
     mask_value: float = -1e30,
+    v_transposed: bool = False,
 ) -> Array:
     """Masked attention of a query block against full K/V buffers.
 
     q:      [B, Hq, Sq, D]
-    k, v:   [B, Hkv, Smax, D] (cache contents; positions >= q_pos+Sq are junk)
+    k:      [B, Hkv, Smax, D] (cache contents; positions >= q_pos+Sq are junk)
+    v:      [B, Hkv, Smax, D], or [B, Hkv, D, Smax] when v_transposed
+            (the KV cache's D-major V layout — both einsums then
+            contract minor dims, so XLA never relayouts the cache)
     q_pos:  [B] int32 — absolute position of the first query token.
     Returns [B, Hq, Sq, D] in q.dtype; softmax accumulates in fp32.
     """
@@ -51,9 +55,16 @@ def attend(
     scores = jnp.where(valid[:, None, :, :], scores, mask_value)
 
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum(
-        "bhqk,bhkd->bhqd", probs.astype(q.dtype), v, preferred_element_type=jnp.float32
-    )
+    if v_transposed:
+        out = jnp.einsum(
+            "bhqk,bhdk->bhqd", probs.astype(q.dtype), v,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs.astype(q.dtype), v,
+            preferred_element_type=jnp.float32,
+        )
     return out.astype(q.dtype)
 
 
@@ -67,10 +78,11 @@ def attend_cache(
 ) -> Array:
     """Attention of a query block against the (possibly int8) cache.
 
-    q: [B, Hq, Sq, D]; kc/vc: [B, Hkv, Smax, D] cache contents (current
-    tokens already written); ksc/vsc: int8-mode scales [B, Hkv, Smax].
-    Routes the Sq==1 decode case to the flash-decode Pallas kernel
-    (variable-length KV reads); falls back to dense jnp attention.
+    q: [B, Hq, Sq, D]; kc: [B, Hkv, Smax, D]; vc: [B, Hkv, D, Smax]
+    (cache layouts; current tokens already written); ksc/vsc: int8-mode
+    scales [B, Hkv, Smax]. Routes the Sq==1 decode case to the
+    flash-decode Pallas kernel when forced; falls back to dense jnp
+    attention with the no-relayout transposed-V einsum.
     """
     from . import kernel_mode
 
@@ -90,13 +102,15 @@ def attend_cache(
 
         use_kernel = decode_attention_supported(Smax, D)
     if use_kernel:
-        out = decode_attention(q[:, :, 0, :], kc, vc, q_pos + 1, ksc, vsc)
+        # the kernel consumes the row-major V view
+        vc_sd = vc.transpose(0, 1, 3, 2)
+        out = decode_attention(q[:, :, 0, :], kc, vc_sd, q_pos + 1, ksc, vsc)
         return out[:, :, None, :]
 
     if ksc is not None:
         k = (kc.astype(jnp.float32) * ksc[..., None]).astype(q.dtype)
-        v = (vc.astype(jnp.float32) * vsc[..., None]).astype(q.dtype)
+        v = (vc.astype(jnp.float32) * vsc[:, :, None, :]).astype(q.dtype)
     else:
         k = kc.astype(q.dtype)
         v = vc.astype(q.dtype)
-    return attend(q, k, v, q_pos)
+    return attend(q, k, v, q_pos, v_transposed=True)
