@@ -56,7 +56,6 @@ class ChatSession:
         self.slot = slot
         self.conv: Conversation = get_conversation(conv_template or cfg.conv_template)
         self.total_len = 0  # tokens currently in the KV cache for this slot
-        self._first_turn_done = False
 
     # ------------------------------------------------------------------ utils
     @property
@@ -67,7 +66,6 @@ class ChatSession:
         self.conv.reset()
         self.engine.reset([self.slot])
         self.total_len = 0
-        self._first_turn_done = False
 
     def _encode_prompt(self, text: str, first_chunk: bool) -> List[int]:
         ids = self.tokenizer.encode(text)
@@ -168,7 +166,6 @@ class ChatSession:
 
         self.total_len += len(tokens) + len(reply_ids) + 1
         self.conv.update_last(final_text.strip())
-        self._first_turn_done = True
 
     def ask(self, user_text: str) -> str:
         return "".join(self.chat_stream(user_text))

@@ -35,6 +35,24 @@ from ...quant.spec import QuantSpec
 
 Array = jax.Array
 
+# optional autotuned block table (written by mlc_llm_tpu.tune)
+_TUNED = None
+
+
+def _tuned_table():
+    global _TUNED
+    if _TUNED is None:
+        import json
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "tuned_blocks.json")
+        try:
+            with open(path) as f:
+                _TUNED = json.load(f)
+        except Exception:
+            _TUNED = {}
+    return _TUNED
+
 
 def dequant_matmul_supported(w: QuantizedTensor) -> bool:
     spec = w.spec
@@ -62,6 +80,11 @@ def _pick_blocks(m: int, kw: int, n: int, words_per_group: int):
     axis in one step (the grid still tiles m and n).
     """
     bm = m if m <= 16 else (_largest_divisor(m, (256, 128, 64, 32, 16, 8)) or m)
+    tuned = _tuned_table().get(f"int:{m}:{kw}:{n}") or _tuned_table().get(
+        f"{m}:{kw}:{n}"
+    )
+    if tuned:
+        return bm, tuned[0], tuned[1]
     bkw = None
     for c in (2048, 1024, 512, 384, 256, 128):
         if c <= kw and kw % c == 0 and c % words_per_group == 0:

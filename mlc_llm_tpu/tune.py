@@ -95,7 +95,7 @@ def tune_shapes(shapes, quant="q4bf16", ms=(1,), verbose=True):
                 if t < best_t:
                     best, best_t = (bkw, bn), t
             if best:
-                table[f"{spec.mode}:{m}:{kw}:{n_stored}"] = list(best)
+                table[f"{m}:{kw}:{n_stored}"] = list(best)
     return table
 
 
