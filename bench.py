@@ -180,20 +180,27 @@ def main():
 
     # --- 8-way continuous-batching decode (north-star config 3) ------------
     if not on_cpu:
-        del cache
-        cache8 = init_kv_cache(cfg, batch=8, max_len=max_len)
-        prompts8 = jnp.tile(prompt, (8, 1))
-        lens8 = jnp.full((8,), context_len, jnp.int32)
-        logits8, cache8 = prefill(params, prompts8, lens8, cache8)
-        tok8 = jnp.argmax(logits8, -1).astype(jnp.int32)[:, None]
-        t8 = {}
-        for n in (2, n_short, n_long):
-            t0 = time.perf_counter()
-            out_tok, cache8 = decode_n(params, tok8, cache8, key, n, window=window)
-            _readback(out_tok)
-            t8[n] = time.perf_counter() - t0
-        per8 = (t8[n_long] - t8[n_short]) / (n_long - n_short)
-        result["batch8_tok_s"] = round(8 / per8, 2)
+        try:
+            del cache
+            # short cache: ctx 128 + ~80 steps; keeps HBM well under the
+            # 16 GB budget next to the 4.2 GB weights
+            cache8 = init_kv_cache(cfg, batch=8, max_len=512)
+            prompts8 = jnp.tile(prompt, (8, 1))
+            lens8 = jnp.full((8,), context_len, jnp.int32)
+            logits8, cache8 = prefill(params, prompts8, lens8, cache8)
+            tok8 = jnp.argmax(logits8, -1).astype(jnp.int32)[:, None]
+            t8 = {}
+            for n in (2, n_short, n_long):
+                t0 = time.perf_counter()
+                out_tok, cache8 = decode_n(
+                    params, tok8, cache8, key, n, window=window
+                )
+                _readback(out_tok)
+                t8[n] = time.perf_counter() - t0
+            per8 = (t8[n_long] - t8[n_short]) / (n_long - n_short)
+            result["batch8_tok_s"] = round(8 / per8, 2)
+        except Exception as e:  # keep the headline metric printable
+            result["batch8_error"] = f"{type(e).__name__}"
     print(json.dumps(result))
 
 

@@ -86,9 +86,8 @@ struct Conversation {
         out = sep;
         break;
       case SepStyle::kMoss:
+      case SepStyle::kSingle:  // new turns are a pure suffix
         break;
-      case SepStyle::kSingle:
-        return GetPrompt();
     }
     for (size_t j = cur + 1; j < messages.size(); ++j) {
       RenderOne(&out, j, messages[j].first, messages[j].second, has_text[j]);

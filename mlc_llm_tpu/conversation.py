@@ -100,10 +100,8 @@ class Conversation:
             out = self.sep2 + self._render(new, start, False)
         elif st == SeparatorStyle.OASST:
             out = self.sep + self._render(new, start, False)
-        elif st == SeparatorStyle.MOSS:
+        else:  # MOSS and SINGLE: new turns are a pure suffix
             out = self._render(new, start, False)
-        else:  # SINGLE has no incremental form in the reference either
-            return self.get_prompt()
         self._cur = len(self.messages) - 1
         return out
 

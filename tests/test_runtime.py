@@ -174,3 +174,45 @@ def test_version():
     from mlc_llm_tpu.version import full_version
 
     assert full_version().startswith("0.1.0+g")
+
+
+def test_incremental_chunks_reassemble_full_prompt():
+    """For every template: first chunk + generated reply + later chunks
+    must reassemble the full prompt a fresh conversation would render
+    (the KV-cache incremental-prefill invariant; whitespace-insensitive
+    because some styles add cosmetic newlines only in the full render,
+    exactly as the reference does)."""
+
+    def canon(t):
+        return "".join(t.split())
+
+    replies = ["Sure!", "Here you go."]
+    for name in CONV_TEMPLATES:
+        c = get_conversation(name)
+        assembled = ""
+        for q, r in [("first question", replies[0]),
+                     ("second question", replies[1])]:
+            c.append(c.roles[0], q)
+            c.append(c.roles[1], None)
+            assembled += c.get_prompt_unprocessed()
+            c.update_last(r)  # the generated reply enters the KV as-is
+            assembled += r
+            # MOSS-style models emit their own <eom> marker, which lands
+            # in the KV before the stop is detected (OASST's marker is
+            # re-supplied by the next incremental chunk instead)
+            from mlc_llm_tpu.conversation import SeparatorStyle
+
+            if c.sep_style == SeparatorStyle.MOSS:
+                assembled += c.stop_str() or ""
+
+        fresh = get_conversation(name)
+        for q, r in [("first question", replies[0]),
+                     ("second question", replies[1])]:
+            fresh.append(fresh.roles[0], q)
+            fresh.append(fresh.roles[1], r)
+        full = canon(fresh.get_prompt())
+        got = canon(assembled)
+        # the full render may append trailing separators after the last
+        # reply that the live session never generated
+        assert full.startswith(got) or got.startswith(full), (
+            name, got[-80:], full[-80:])
