@@ -80,3 +80,18 @@ def test_per_request_sampling_params(engine):
     sched.run()
     want = engine.generate([[5, 6, 7]], _greedy(5))[0]
     assert greedy.output == want  # greedy slot unaffected by hot slot
+
+
+def test_window_shrinks_after_long_request_finishes(engine):
+    """A finished slot's stale KV (longer than the current window) must
+    not corrupt remaining requests when the decode window shrinks."""
+    sched = ContinuousBatchingScheduler(engine)
+    long_req = sched.submit(list(range(1, 40)), _greedy(12))   # len 39+
+    # run until the long request finishes
+    while not long_req.done:
+        sched.step()
+    short = sched.submit([7, 8], _greedy(6))  # window now much smaller
+    sched.run()
+    assert short.done
+    want = engine.generate([[7, 8]], _greedy(6))[0]
+    assert short.output == want
