@@ -85,9 +85,36 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--platform", default=None, help="jax platform override (e.g. cpu)")
     ap.add_argument("--prompt", default=None, help="one-shot prompt (no REPL)")
+    ap.add_argument(
+        "--evaluate", action="store_true",
+        help="built-in smoke benchmark (the reference's `mlc_chat_cli "
+             "--evaluate` / llm_chat.cc:768-809 analog)",
+    )
     args = ap.parse_args(argv)
 
     session = build_session(args)
+
+    if args.evaluate:
+        import time as _time
+
+        tokens = session.tokenizer.encode("The capital of Canada is")
+        eng = session.engine
+        from .engine import GenerationConfig
+
+        t0 = _time.perf_counter()
+        logits = eng.prefill([tokens])
+        import numpy as _np
+
+        first10 = _np.asarray(logits)[0, :10]
+        t1 = _time.perf_counter()
+        out = eng.generate([tokens], GenerationConfig(max_new_tokens=16,
+                                                      temperature=0.0))
+        t2 = _time.perf_counter()
+        print(f"logits[:10] = {first10}")
+        print(f"prefill[{len(tokens)} tok]: {(t1-t0)*1e3:.1f} ms; "
+              f"decode[{len(out[0])} tok]: {(t2-t1)*1e3:.1f} ms")
+        print(f"[{session.stats_text}]")
+        return
 
     if args.prompt is not None:
         for chunk in session.chat_stream(args.prompt):

@@ -184,6 +184,25 @@ def _layer(
     # back for attention (the slice fuses into the attention dot)
     k_bhsd = k.transpose(0, 2, 1, 3)
     v_bhds = v.transpose(0, 2, 3, 1)
+    B_, H_, D_ = k_bhsd.shape[0], k_bhsd.shape[1], k_bhsd.shape[3]
+    W = attn_window or ck.shape[3]
+
+    def read_k(c):
+        # window folded into the dynamic_slice: a separate
+        # dynamic_index-then-[:W] made XLA materialize the FULL layer
+        # (16.8 MB/layer/step at 7B) before slicing
+        return jax.lax.dynamic_slice(
+            c, (l, 0, 0, 0, 0), (1, B_, H_, W, D_)
+        )[0]
+
+    def read_v(c):
+        return jax.lax.dynamic_slice(
+            c, (l, 0, 0, 0, 0), (1, B_, H_, D_, W)
+        )[0]
+
+    def read_sc(c):
+        return jax.lax.dynamic_slice(c, (l, 0, 0, 0), (1, B_, H_, W))[0]
+
     if ck.dtype == jnp.int8:
         kq, ks = _quantize_kv(k_bhsd)
         vq, vs = _quantize_kv_t(v_bhds)
@@ -191,23 +210,12 @@ def _layer(
         cv = _write_tokens_v(cv, vq, l, start)
         cks = _write_token_scales(cks, ks, l, start)
         cvs = _write_token_scales(cvs, vs, l, start)
-        kc = jax.lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
-        vc = jax.lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
-        ksc = jax.lax.dynamic_index_in_dim(cks, l, 0, keepdims=False)
-        vsc = jax.lax.dynamic_index_in_dim(cvs, l, 0, keepdims=False)
-        if attn_window is not None:
-            kc = kc[:, :, :attn_window]
-            vc = vc[:, :, :, :attn_window]
-            ksc = ksc[:, :, :attn_window]
-            vsc = vsc[:, :, :attn_window]
+        kc, vc = read_k(ck), read_v(cv)
+        ksc, vsc = read_sc(cks), read_sc(cvs)
     else:
         ck = _write_tokens(ck, k_bhsd.astype(ck.dtype), l, start)
         cv = _write_tokens_v(cv, v_bhds.astype(cv.dtype), l, start)
-        kc = jax.lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
-        vc = jax.lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
-        if attn_window is not None:
-            kc = kc[:, :, :attn_window]
-            vc = vc[:, :, :, :attn_window]
+        kc, vc = read_k(ck), read_v(cv)
         ksc = vsc = None
 
     attn = attend_cache(q.transpose(0, 2, 1, 3), kc, vc, ksc, vsc, start)
