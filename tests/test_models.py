@@ -158,3 +158,29 @@ def test_batch_with_mixed_lengths():
     assert cache.lengths.tolist() == [5, 5]
     np.testing.assert_allclose(np.asarray(lb), np.asarray(lb))
     del la, lb
+
+
+def test_gqa_forward_matches_hf():
+    """Grouped-query attention (not in the reference zoo, but the
+    engine is GQA-ready; parity vs HF llama with num_key_value_heads=2)."""
+    torch.manual_seed(1)
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-6,
+        tie_word_embeddings=False,
+    )
+    hf = transformers.LlamaForCausalLM(hf_cfg)
+    hf.eval()
+    cfg = get_config("tiny-llama").replace(
+        vocab_size=128, num_heads=8, num_kv_heads=2, max_seq_len=64
+    )
+    params = params_from_hf(hf, cfg, "f32")
+    toks = np.random.default_rng(0).integers(0, 128, (1, 10))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(toks)).logits.float().numpy()
+    got, _ = forward(
+        params, cfg, jnp.asarray(toks, jnp.int32),
+        init_kv_cache(cfg, 1, 32, jnp.float32), last_only=False,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
