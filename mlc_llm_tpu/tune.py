@@ -29,7 +29,9 @@ TABLE_PATH = os.path.join(
 
 def _bench_variant(qt, m: int, bkw: int, bn: int, steps=(16, 112)) -> float:
     """Per-call seconds for one block config (on-device loop)."""
-    from .ops.pallas import dequant_matmul as dm
+    # the package __init__ re-exports the function under the same name,
+    # so import the MODULE via its absolute dotted path
+    import mlc_llm_tpu.ops.pallas.dequant_matmul as dm
 
     k = qt.shape[0]
 

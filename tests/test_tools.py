@@ -78,3 +78,23 @@ def test_engine_window_switching():
         [list(range(2, 16))], GenerationConfig(max_new_tokens=10, temperature=0.0)
     )
     assert out == out2
+
+
+def test_tune_bench_variant_runs():
+    import numpy as np
+
+    from mlc_llm_tpu.quant import quantize
+    from mlc_llm_tpu.tune import _bench_variant, model_shapes
+
+    qt = quantize(
+        (np.random.default_rng(0).standard_normal((256, 256)) * 0.05).astype(
+            np.float32
+        ),
+        "q4bf16",
+    )
+    t = _bench_variant(qt, 1, 32, 256, steps=(2, 4))
+    assert t > 0
+
+    cfg = get_config("vicuna-v1-7b")
+    shapes = model_shapes(cfg)
+    assert (4096, 32000) in shapes and (11008, 4096) in shapes
