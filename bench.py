@@ -77,6 +77,7 @@ def main():
     # possibly a virtualization cap/contention; report both rooflines)
     measured_bw = None
     if not on_cpu:
+      try:
         buf = jax.random.bits(jax.random.PRNGKey(1), (256, 1024, 1024), jnp.uint32)
         red = jax.jit(lambda w, s: (w >> 4).sum(dtype=jnp.uint32) + s)
         s = red(buf, jnp.uint32(0))
@@ -93,6 +94,8 @@ def main():
         t2, t10 = reduce_n(2), reduce_n(10)
         measured_bw = 8 * buf.nbytes / max(t10 - t2, 1e-6)
         del buf, s
+      except Exception:
+        measured_bw = None
 
     @partial(jax.jit, static_argnames=("last_only",))
     def prefill(params, tokens, seq_lens, cache, last_only=True):

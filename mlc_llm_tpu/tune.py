@@ -30,8 +30,10 @@ TABLE_PATH = os.path.join(
 def _bench_variant(qt, m: int, bkw: int, bn: int, steps=(16, 112)) -> float:
     """Per-call seconds for one block config (on-device loop)."""
     # the package __init__ re-exports the function under the same name,
-    # so import the MODULE via its absolute dotted path
-    import mlc_llm_tpu.ops.pallas.dequant_matmul as dm
+    # shadowing the submodule attribute — resolve the MODULE explicitly
+    import importlib
+
+    dm = importlib.import_module("mlc_llm_tpu.ops.pallas.dequant_matmul")
 
     k = qt.shape[0]
 
