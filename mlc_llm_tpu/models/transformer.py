@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import attend_cache
-from ..ops.matmul import qmatmul
+from ..ops.matmul import qmatmul, qmatmul_stacked
 from ..quant.groupwise import QuantizedTensor, quantize, take_dequantize
 from ..quant.spec import QuantSpec, resolve_spec
 from .config import ModelConfig
@@ -144,9 +144,13 @@ def _quantize_kv_t(x: Array):
     return q, scale
 
 
+WEIGHT_KEYS = ("wqkv", "wo", "w_in", "w_out")
+
+
 def _layer(
     h: Array,
     lp: Params,
+    weights: Params,
     ck: Array,
     cv: Array,
     cks: Optional[Array],
@@ -170,7 +174,7 @@ def _layer(
         if cfg.parallel_residual:
             h_mlp_in = _norm(h, lp["ln2_w"], lp.get("ln2_b"), cfg)
 
-    qkv = qmatmul(h_attn_in, lp["wqkv"], lp.get("bqkv"))
+    qkv = qmatmul_stacked(h_attn_in, weights["wqkv"], l, lp.get("bqkv"))
     q, k, v = jnp.split(qkv, [nh * d, nh * d + nkv * d], axis=-1)
     q = q.reshape(B, S, nh, d)
     k = k.reshape(B, S, nkv, d)
@@ -220,7 +224,7 @@ def _layer(
 
     attn = attend_cache(q.transpose(0, 2, 1, 3), kc, vc, ksc, vsc, start)
     attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nh * d)
-    attn_out = qmatmul(attn, lp["wo"], lp.get("bo"))
+    attn_out = qmatmul_stacked(attn, weights["wo"], l, lp.get("bo"))
 
     if cfg.parallel_residual or cfg.single_norm:
         pass  # mlp reads its own norm of the ORIGINAL h
@@ -229,12 +233,14 @@ def _layer(
         h_mlp_in = _norm(h, lp["ln2_w"], lp.get("ln2_b"), cfg)
 
     if cfg.act == "silu_gated":
-        gate_up = qmatmul(h_mlp_in, lp["w_in"], lp.get("b_in"))
+        gate_up = qmatmul_stacked(h_mlp_in, weights["w_in"], l, lp.get("b_in"))
         gate, up = jnp.split(gate_up, 2, axis=-1)
         mid = jax.nn.silu(gate) * up
     else:
-        mid = activate(qmatmul(h_mlp_in, lp["w_in"], lp.get("b_in")), cfg.act)
-    mlp_out = qmatmul(mid, lp["w_out"], lp.get("b_out"))
+        mid = activate(
+            qmatmul_stacked(h_mlp_in, weights["w_in"], l, lp.get("b_in")), cfg.act
+        )
+    mlp_out = qmatmul_stacked(mid, weights["w_out"], l, lp.get("b_out"))
 
     if cfg.parallel_residual or cfg.single_norm:
         h = h + attn_out + mlp_out
@@ -288,15 +294,20 @@ def forward(
         hh, ck, cv, cks, cvs = carry
         lp, l = xs
         hh, ck, cv, cks, cvs = _layer(
-            hh, lp, ck, cv, cks, cvs, l, cfg, rot_cos, rot_sin, positions, start,
-            attn_window,
+            hh, lp, weights, ck, cv, cks, cvs, l, cfg, rot_cos, rot_sin,
+            positions, start, attn_window,
         )
         return (hh, ck, cv, cks, cvs), None
 
+    # the big weights stay OUT of the scan xs (slicing stacked xs leaves
+    # materializes a full per-layer copy); small leaves (norms, biases)
+    # ride xs, weights are indexed in place by the stacked kernels
+    weights = {k: v for k, v in params["layers"].items() if k in WEIGHT_KEYS}
+    small = {k: v for k, v in params["layers"].items() if k not in WEIGHT_KEYS}
     (h, k_new, v_new, ks_new, vs_new), _ = jax.lax.scan(
         body,
         (h, cache.k, cache.v, cache.k_scale, cache.v_scale),
-        (params["layers"], jnp.arange(cfg.num_layers, dtype=jnp.int32)),
+        (small, jnp.arange(cfg.num_layers, dtype=jnp.int32)),
     )
 
     h = _norm(h, params["final_ln"]["w"], params["final_ln"].get("b"), cfg)

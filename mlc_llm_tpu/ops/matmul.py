@@ -64,3 +64,55 @@ def qmatmul(
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
+
+
+def qmatmul_stacked(
+    x: Array,
+    w,
+    layer: Array,
+    bias: Optional[Array] = None,
+    out_dtype=None,
+) -> Array:
+    """Layer-stacked qmatmul: w holds leaves with a leading layer axis
+    and `layer` is a traced index (the decoder's scan variable).
+
+    Routing mirrors qmatmul, with one extra concern: slicing the layer
+    out of a stacked QuantizedTensor materializes a copy of the whole
+    layer's packed weights (~100 MB/layer/step at 7B), so on TPU the
+    stacked Pallas kernel indexes the resting buffers directly.
+    """
+    from . import kernel_mode
+
+    if isinstance(w, QuantizedTensor):
+        mode = kernel_mode()
+        m = 1
+        for d in x.shape[:-1]:
+            m *= d
+        from .pallas.dequant_matmul import (
+            dequant_matmul_stacked,
+            dequant_matmul_stacked_supported,
+        )
+
+        use_pallas = dequant_matmul_stacked_supported(w.spec) and (
+            mode == "pallas"
+            or (mode == "auto" and m <= 64 and jax.default_backend() != "cpu")
+        )
+        if use_pallas:
+            y = dequant_matmul_stacked(x, w, layer, out_dtype=out_dtype)
+        else:
+            wl = QuantizedTensor(
+                data=jax.lax.dynamic_index_in_dim(w.data, layer, 0, False),
+                scale=jax.lax.dynamic_index_in_dim(w.scale, layer, 0, False),
+                zero=None if w.zero is None else jax.lax.dynamic_index_in_dim(
+                    w.zero, layer, 0, False
+                ),
+                spec=w.spec,
+                shape=w.shape,
+            )
+            return qmatmul(x, wl, bias=bias, out_dtype=out_dtype)
+    else:
+        wl = jax.lax.dynamic_index_in_dim(w, layer, 0, False)
+        return qmatmul(x, wl, bias=bias, out_dtype=out_dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y

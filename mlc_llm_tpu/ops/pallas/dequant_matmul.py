@@ -376,6 +376,135 @@ def _dequant_matmul_2d(
     return out[:m, :n]
 
 
+def _kernel_pairs_stacked(l_ref, xlo_ref, xhi_ref, w_ref, s_ref, z_ref, o_ref,
+                          acc_ref, *, spec: QuantSpec, k_steps: int, out_dtype,
+                          interpret: bool):
+    """Stacked-weights variant: blocks of layer l_ref[0] are DMA'd
+    straight out of the [L, KW, N] resting buffers via the
+    scalar-prefetch index maps — no per-layer weight copy."""
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    cdtype = xlo_ref.dtype
+    rows_per_group = spec.group_size // 2
+    lo8, hi8 = _nibble_planes(w_ref[0], interpret)
+    scale_e = _row_repeat(s_ref[0].astype(cdtype), rows_per_group)
+    wv_lo = lo8.astype(cdtype) * scale_e
+    wv_hi = hi8.astype(cdtype) * scale_e
+    if spec.sym:
+        off_e = scale_e * (-spec.max_int)
+    else:
+        off_e = _row_repeat(z_ref[0].astype(cdtype), rows_per_group)
+
+    dn = (((1,), (0,)), ((), ()))
+    acc = acc_ref[:]
+    acc += jax.lax.dot_general(xlo_ref[:], wv_lo, dn, preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(xhi_ref[:], wv_hi, dn, preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(
+        xlo_ref[:] + xhi_ref[:], off_e, dn, preferred_element_type=jnp.float32
+    )
+    acc_ref[:] = acc
+
+    @pl.when(k_idx == k_steps - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def dequant_matmul_stacked_supported(spec: QuantSpec) -> bool:
+    return spec.mode == "int4" and spec.storage == "u32"
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "shape", "out_dtype", "interpret")
+)
+def _dequant_matmul_stacked_2d(
+    x: Array,
+    layer: Array,        # [1] int32
+    data: Array,         # [L, KW, N]
+    scale: Array,        # [L, G, N]
+    zero: Optional[Array],
+    *,
+    spec: QuantSpec,
+    shape,
+    out_dtype,
+    interpret: bool,
+) -> Array:
+    k, n = shape
+    m = x.shape[0]
+    _, kw, n_stored = data.shape
+    wpg = -(-spec.group_size // spec.elems_per_word)
+    k_stored = kw * spec.elems_per_word
+    if x.shape[1] != k_stored:
+        x = jnp.pad(x, ((0, 0), (0, k_stored - x.shape[1])))
+    xr = x.reshape(m, kw, 4, 2)
+    xlo = xr[..., 0].reshape(m, kw * 4)
+    xhi = xr[..., 1].reshape(m, kw * 4)
+
+    bm, bkw, bn = _pick_blocks(m, kw, n_stored, wpg)
+    m_pad = -(-m // bm) * bm
+    if m_pad != m:
+        xlo = jnp.pad(xlo, ((0, m_pad - m), (0, 0)))
+        xhi = jnp.pad(xhi, ((0, m_pad - m), (0, 0)))
+    k_steps = kw // bkw
+    bkg = bkw // wpg
+    if zero is None:
+        zero = scale
+
+    kernel = functools.partial(
+        _kernel_pairs_stacked, spec=spec, k_steps=k_steps, out_dtype=out_dtype,
+        interpret=interpret,
+    )
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m_pad // bm, n_stored // bn, k_steps),
+        in_specs=[
+            pl.BlockSpec((bm, 4 * bkw), lambda i, j, kk, l: (i, kk)),
+            pl.BlockSpec((bm, 4 * bkw), lambda i, j, kk, l: (i, kk)),
+            pl.BlockSpec((1, bkw, bn), lambda i, j, kk, l: (l[0], kk, j)),
+            pl.BlockSpec((1, bkg, bn), lambda i, j, kk, l: (l[0], kk, j)),
+            pl.BlockSpec((1, bkg, bn), lambda i, j, kk, l: (l[0], kk, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk, l: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_stored), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(layer, xlo, xhi, data, scale, zero)
+    return out[:m, :n]
+
+
+def dequant_matmul_stacked(
+    x: Array, w: QuantizedTensor, layer: Array, out_dtype=None
+) -> Array:
+    """x: [..., k] @ dequant(stacked w at `layer`) -> [..., n].
+
+    w holds layer-STACKED leaves (data [L, KW, N]); layer is a traced
+    int32 index. The kernel reads layer blocks in place — the jnp
+    alternative (dynamic_index then matmul) copies ~the whole layer's
+    packed weights every call."""
+    out_dtype = jnp.dtype(out_dtype) if out_dtype is not None else x.dtype
+    lead = x.shape[:-1]
+    m = 1
+    for d in lead:
+        m *= d
+    x2 = x.reshape(m, x.shape[-1])
+    interpret = jax.default_backend() == "cpu"
+    y = _dequant_matmul_stacked_2d(
+        x2, jnp.asarray(layer, jnp.int32).reshape(1), w.data, w.scale, w.zero,
+        spec=w.spec, shape=w.shape, out_dtype=out_dtype, interpret=interpret,
+    )
+    return y.reshape(*lead, w.shape[1])
+
+
 def dequant_matmul(x: Array, w: QuantizedTensor, out_dtype=None) -> Array:
     """x: [..., k] @ dequant(w) -> [..., n]."""
     out_dtype = jnp.dtype(out_dtype) if out_dtype is not None else x.dtype

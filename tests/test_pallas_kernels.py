@@ -110,3 +110,34 @@ def test_3d_batch_input():
     x = jnp.asarray(_mk(6, 128, seed=2).reshape(2, 3, 128), jnp.bfloat16)
     got = dequant_matmul(x, qt)
     assert got.shape == (2, 3, 256)
+
+
+def test_stacked_kernel_matches_per_layer(monkeypatch):
+    """Stacked-weights kernel (scalar-prefetch layer indexing) must
+    match slicing the layer then running the plain kernel."""
+    import jax
+
+    from mlc_llm_tpu.ops.matmul import qmatmul, qmatmul_stacked
+    from mlc_llm_tpu.ops import use_kernels
+    from mlc_llm_tpu.quant.groupwise import QuantizedTensor
+
+    spec = resolve_spec("q4bf16")
+    L, k, n = 3, 256, 384
+    qts = [quantize(_mk(k, n, seed=10 + i), spec) for i in range(L)]
+    stacked = QuantizedTensor(
+        data=jnp.stack([q.data for q in qts]),
+        scale=jnp.stack([q.scale for q in qts]),
+        zero=jnp.stack([q.zero for q in qts]),
+        spec=spec,
+        shape=(k, n),
+    )
+    x = jnp.asarray(_mk(2, k, seed=42), jnp.bfloat16)
+    for l in range(L):
+        with use_kernels("pallas"):
+            got = qmatmul_stacked(x, stacked, jnp.int32(l))
+        with use_kernels("jnp"):
+            want = qmatmul(x, qts[l])
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=5e-2, rtol=5e-2,
+        )
