@@ -90,9 +90,21 @@ def main(argv=None):
         help="built-in smoke benchmark (the reference's `mlc_chat_cli "
              "--evaluate` / llm_chat.cc:768-809 analog)",
     )
+    ap.add_argument(
+        "--try-tokenizer", action="store_true",
+        help="tokenizer encode/decode round-trip smoke "
+             "(llm_chat.cc:752-765 analog)",
+    )
     args = ap.parse_args(argv)
 
     session = build_session(args)
+
+    if args.try_tokenizer:
+        for text in ("Hello world!", "你好 123", "<s>[INST]"):
+            ids = session.tokenizer.encode(text)
+            back = session.tokenizer.decode(ids)
+            print(f"{text!r} -> {len(ids)} tokens -> {back!r}")
+        return
 
     if args.evaluate:
         import time as _time
