@@ -42,9 +42,11 @@ def qmatmul(
         # decode/gemv-class shapes go to the fused kernel (weights never
         # materialize); big prefill blocks dequantize once and ride the
         # MXU via XLA — the kernel would re-unpack per m-tile (VPU-bound)
+        # m <= 256 keeps a single m-tile in the kernel (no re-unpack);
+        # larger prefill blocks dequantize once and ride the MXU via XLA
         use_pallas = mode == "pallas" or (
             mode == "auto"
-            and m <= 64
+            and m <= 256
             and jax.default_backend() not in ("cpu",)
             and _supported_by_pallas(w)
         )
@@ -95,7 +97,7 @@ def qmatmul_stacked(
 
         use_pallas = dequant_matmul_stacked_supported(w.spec) and (
             mode == "pallas"
-            or (mode == "auto" and m <= 64 and jax.default_backend() != "cpu")
+            or (mode == "auto" and m <= 256 and jax.default_backend() != "cpu")
         )
         if use_pallas:
             y = dequant_matmul_stacked(x, w, layer, out_dtype=out_dtype)
