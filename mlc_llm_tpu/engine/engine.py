@@ -23,7 +23,7 @@ import numpy as np
 
 from ..models.config import ModelConfig
 from ..models.transformer import KVCache, forward, init_kv_cache
-from ..ops.sampling import sample_token
+from ..ops.sampling import sample_token, sample_token_perslot
 from .stats import RuntimeStats
 
 DEFAULT_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
@@ -43,6 +43,9 @@ class GenerationConfig:
     top_p: float = 0.95
     stop_tokens: Sequence[int] = ()
     seed: Optional[int] = None
+    # nucleus-prefilter width for on-device sampling; 0 = exact
+    # full-vocab top-p (see ops/sampling.py docstring)
+    top_k: int = 64
 
 
 class InferenceEngine:
@@ -78,11 +81,13 @@ class InferenceEngine:
             )
 
         @partial(
-            jax.jit, donate_argnames=("cache",), static_argnames=("attn_window",)
+            jax.jit,
+            donate_argnames=("cache",),
+            static_argnames=("attn_window", "top_k"),
         )
         def _decode_sample(
-            params, tokens, cache, key, temperature, top_p, active,
-            attn_window=None,
+            params, tokens, cache, seeds, steps, temperature, top_p, active,
+            attn_window=None, top_k=64,
         ):
             """One decode step + on-device sampling.
 
@@ -90,16 +95,24 @@ class InferenceEngine:
             advance their cache length (their token is still computed
             but the slot state is frozen). attn_window (static) bounds
             the cache read: one program per window bucket.
+
+            seeds [B] uint32 / steps [B] int32 derive each slot's PRNG
+            key as fold_in(PRNGKey(seed), step): a request's sample
+            stream depends only on its own (seed, #tokens-sampled), so
+            per-request `GenerationConfig.seed` is reproducible under
+            continuous batching regardless of batch composition.
             """
             seq_lens = active.astype(jnp.int32)
             logits, cache = forward(
                 params, cfg_static, tokens, cache, seq_lens=seq_lens,
                 last_only=True, attn_window=attn_window,
             )
-            key, sub = jax.random.split(key)
-            nxt = sample_token(logits, sub, temperature, top_p)
+            keys = jax.vmap(
+                lambda s, c: jax.random.fold_in(jax.random.PRNGKey(s), c)
+            )(seeds, steps)
+            nxt = sample_token_perslot(logits, keys, temperature, top_p, top_k=top_k)
             nxt = jnp.where(active, nxt, tokens[:, 0])
-            return nxt, cache, key
+            return nxt, cache
 
         def _slice_slot(arr, slot):
             return None if arr is None else jax.lax.dynamic_slice_in_dim(
@@ -112,13 +125,23 @@ class InferenceEngine:
             )
 
         @partial(jax.jit, donate_argnames=("cache",))
-        def _prefill_slot(params, tokens, seq_len, cache, slot):
+        def _prefill_slot(params, tokens, seq_len, cache, slot, append=False):
             """Prefill ONE slot (tokens [1, S]) without touching the
-            other slots' KV state — continuous-batching admission."""
+            other slots' KV state — continuous-batching admission.
+
+            append (traced bool): start from the slot's existing cache
+            length instead of 0 — lets a pinned multi-turn chat session
+            extend its own KV state through the scheduler (the
+            reference's incremental EncodeStep, llm_chat.cc:645-685)."""
+            start = jnp.where(
+                jnp.asarray(append),
+                jax.lax.dynamic_slice_in_dim(cache.lengths, slot, 1, axis=0),
+                jnp.zeros((1,), jnp.int32),
+            )
             sub = KVCache(
                 k=_slice_slot(cache.k, slot),
                 v=_slice_slot(cache.v, slot),
-                lengths=jnp.zeros((1,), jnp.int32),
+                lengths=start,
                 k_scale=_slice_slot(cache.k_scale, slot),
                 v_scale=_slice_slot(cache.v_scale, slot),
             )
@@ -147,7 +170,20 @@ class InferenceEngine:
         self._decode_sample = _decode_sample
         self._reset_lengths = _reset_lengths
         self._sample_logits = jax.jit(
-            lambda logits, key, t, p: sample_token(logits, key, t, p)
+            lambda logits, key, t, p, top_k=64: sample_token(
+                logits, key, t, p, top_k=top_k
+            ),
+            static_argnames=("top_k",),
+        )
+        self._sample_perslot = jax.jit(
+            lambda logits, seeds, steps, t, p, top_k=64: sample_token_perslot(
+                logits,
+                jax.vmap(
+                    lambda s, c: jax.random.fold_in(jax.random.PRNGKey(s), c)
+                )(seeds, steps),
+                t, p, top_k=top_k,
+            ),
+            static_argnames=("top_k",),
         )
 
     def decode_window(self, max_len_next: int) -> int:
@@ -213,13 +249,18 @@ class InferenceEngine:
         n = len(prompts)
         logits = self.prefill(prompts, reset=reset)
 
-        key = jax.random.PRNGKey(
-            gen.seed if gen.seed is not None else np.random.randint(0, 2**31 - 1)
-        )
+        # per-slot uint32 seeds derived from gen.seed (deterministic when
+        # set, distinct per slot so batched rows never share a key stream)
+        base = gen.seed if gen.seed is not None else np.random.randint(0, 2**31 - 1)
+        seeds_np = np.random.SeedSequence(base).generate_state(B).astype(np.uint32)
+        seeds = jnp.asarray(seeds_np)
+        steps_np = np.zeros((B,), np.int32)
         t = jnp.float32(gen.temperature)
         p = jnp.float32(gen.top_p)
-        key, sub = jax.random.split(key)
-        first = self._sample_logits(logits, sub, t, p)  # [B]
+        first = self._sample_perslot(
+            logits, seeds, jnp.asarray(steps_np), t, p, top_k=gen.top_k
+        )  # [B]
+        steps_np[:] = 1
 
         stop = set(gen.stop_tokens) | set(self.cfg.stop_tokens)
         emitted = [0] * n
@@ -255,11 +296,14 @@ class InferenceEngine:
         try:
             for _ in range(max_steps - 1):
                 max_len_host += 1
-                nxt, self.cache, key = self._decode_sample(
-                    self.params, cur, self.cache, key, t, p,
+                nxt, self.cache = self._decode_sample(
+                    self.params, cur, self.cache, seeds,
+                    jnp.asarray(steps_np), t, p,
                     jnp.asarray(active_np),
                     attn_window=self.decode_window(max_len_host + 1),
+                    top_k=gen.top_k,
                 )
+                steps_np[active_np] += 1
                 pending.append(nxt)
                 cur = nxt[:, None]
                 steps += 1

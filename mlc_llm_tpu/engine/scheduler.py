@@ -40,6 +40,11 @@ class Request:
     prompt: List[int]
     gen: GenerationConfig
     on_token: Optional[Callable[[int], None]] = None
+    # pin_slot: admit only into this (reserved) slot; append: extend the
+    # slot's existing KV state instead of starting at 0 — both used by
+    # scheduler-backed multi-turn ChatSessions
+    pin_slot: Optional[int] = None
+    append: bool = False
     # filled by the scheduler
     output: List[int] = dataclasses.field(default_factory=list)
     slot: Optional[int] = None
@@ -47,6 +52,9 @@ class Request:
     submitted_at: float = 0.0
     first_token_at: Optional[float] = None
     finished_at: Optional[float] = None
+    seed: int = 0  # resolved uint32 sampling seed (from gen.seed or OS)
+    sampled: int = 0  # tokens sampled so far (PRNG step counter)
+    start_len: int = 0  # KV tokens already in the slot before this prompt
 
     @property
     def ttft(self) -> Optional[float]:
@@ -61,7 +69,8 @@ class ContinuousBatchingScheduler:
         self.pending: Deque[Request] = deque()
         self.active: Dict[int, Request] = {}  # slot -> request
         self._ids = itertools.count()
-        self._key = jax.random.PRNGKey(seed)
+        self._seed_rng = np.random.default_rng(seed)
+        self._reserved: set = set()  # slots pinned to sessions
         self._pending_tokens: Deque[jax.Array] = deque()
         self._pending_slots: Deque[List[int]] = deque()
         self._first_token: Dict[int, int] = {}  # slot -> prefill-sampled token
@@ -72,13 +81,43 @@ class ContinuousBatchingScheduler:
         prompt: List[int],
         gen: GenerationConfig = GenerationConfig(),
         on_token: Optional[Callable[[int], None]] = None,
+        pin_slot: Optional[int] = None,
+        append: bool = False,
     ) -> Request:
         req = Request(
             id=next(self._ids), prompt=list(prompt), gen=gen, on_token=on_token,
+            pin_slot=pin_slot, append=append,
             submitted_at=time.perf_counter(),
+            seed=int(
+                np.random.SeedSequence(gen.seed).generate_state(1)[0]
+                if gen.seed is not None
+                else self._seed_rng.integers(0, 2**32, dtype=np.uint32)
+            ),
         )
         self.pending.append(req)
         return req
+
+    def reserve_slot(self) -> int:
+        """Reserve a slot for a session: it is never handed to other
+        requests and keeps its KV state across that session's turns."""
+        for s in range(self.engine.max_batch):
+            if s not in self._reserved:
+                self._reserved.add(s)
+                return s
+        raise RuntimeError("no free slot to reserve")
+
+    def release_slot(self, slot: int) -> None:
+        self._reserved.discard(slot)
+
+    def cancel(self, req: Request) -> None:
+        """Stop a request (client stopped consuming, e.g. stop-string
+        hit in the session layer). Its slot stops decoding next step."""
+        if not req.done:
+            self._finish(req)
+        try:
+            self.pending.remove(req)
+        except ValueError:
+            pass
 
     @property
     def num_active(self) -> int:
@@ -97,38 +136,64 @@ class ContinuousBatchingScheduler:
     def _free_slots(self) -> List[int]:
         return [
             s for s in range(self.engine.max_batch)
-            if s not in self.active
+            if s not in self.active and s not in self._reserved
         ]
 
     def _admit(self) -> None:
         eng = self.engine
-        for slot in self._free_slots():
-            if not self.pending:
-                break
+        free = deque(self._free_slots())
+        deferred: List[Request] = []
+        while self.pending:
             req = self.pending.popleft()
-            if len(req.prompt) >= eng.max_seq_len:
-                req.prompt = req.prompt[-(eng.max_seq_len - req.gen.max_new_tokens - 1):]
-            bucket = eng.bucket_for(len(req.prompt))
-            toks = np.zeros((1, bucket), np.int32)
-            toks[0, : len(req.prompt)] = req.prompt
-            t0 = time.perf_counter()
-            logits, eng.cache = eng._prefill_slot(
-                eng.params,
-                jnp.asarray(toks),
-                jnp.asarray(len(req.prompt), jnp.int32),
-                eng.cache,
-                jnp.asarray(slot, jnp.int32),
-            )
-            eng.stats.prefill_time += time.perf_counter() - t0
-            eng.stats.prefill_tokens += len(req.prompt)
-            self._key, sub = jax.random.split(self._key)
-            first = eng._sample_logits(
-                logits, sub,
-                jnp.float32(req.gen.temperature), jnp.float32(req.gen.top_p),
-            )
-            req.slot = slot
-            self.active[slot] = req
-            self._first_token[slot] = first  # device array [1]
+            if req.pin_slot is not None:
+                if req.pin_slot in self.active:
+                    deferred.append(req)  # session slot still generating
+                    continue
+                slot = req.pin_slot
+            elif free:
+                slot = free.popleft()
+            else:
+                deferred.append(req)
+                break
+            self._admit_one(req, slot)
+        deferred.extend(self.pending)
+        self.pending = deque(deferred)
+
+    def _admit_one(self, req: Request, slot: int) -> None:
+        eng = self.engine
+        if req.append:
+            req.start_len = int(np.asarray(eng.cache.lengths)[slot])
+        limit = eng.max_seq_len - req.start_len
+        if len(req.prompt) >= limit:
+            # clamp so the prompt + requested generation fit the window
+            # (an unclamped negative index kept the WRONG end of the
+            # prompt when max_new_tokens >= max_seq_len - 1)
+            keep = max(1, limit - req.gen.max_new_tokens - 1)
+            req.prompt = req.prompt[-keep:]
+        bucket = eng.bucket_for(len(req.prompt))
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, : len(req.prompt)] = req.prompt
+        t0 = time.perf_counter()
+        logits, eng.cache = eng._prefill_slot(
+            eng.params,
+            jnp.asarray(toks),
+            jnp.asarray(len(req.prompt), jnp.int32),
+            eng.cache,
+            jnp.asarray(slot, jnp.int32),
+            jnp.asarray(req.append),
+        )
+        eng.stats.prefill_time += time.perf_counter() - t0
+        eng.stats.prefill_tokens += len(req.prompt)
+        first = eng._sample_logits(
+            logits,
+            jax.random.fold_in(jax.random.PRNGKey(req.seed), 0),
+            jnp.float32(req.gen.temperature), jnp.float32(req.gen.top_p),
+            top_k=req.gen.top_k,
+        )
+        req.sampled = 1
+        req.slot = slot
+        self.active[slot] = req
+        self._first_token[slot] = first  # device array [1]
 
     def _decode_dispatch(self) -> None:
         eng = self.engine
@@ -136,26 +201,38 @@ class ContinuousBatchingScheduler:
         active = np.zeros((B,), bool)
         temp = np.full((B,), 1.0, np.float32)
         topp = np.ones((B,), np.float32)
+        seeds = np.zeros((B,), np.uint32)
+        steps = np.zeros((B,), np.int32)
         owners = []
+        top_k = 64
         for slot, req in self.active.items():
             active[slot] = True
             temp[slot] = req.gen.temperature
             topp[slot] = req.gen.top_p
+            seeds[slot] = req.seed
+            steps[slot] = req.sampled
+            req.sampled += 1
             owners.append((slot, req.id))
-        self._key, sub = jax.random.split(self._key)
+            # exact sampling (top_k=0) wins; else the widest prefilter
+            top_k = 0 if (top_k == 0 or req.gen.top_k == 0) else max(
+                top_k, req.gen.top_k
+            )
         max_len = max(
-            (len(r.prompt) + len(r.output) + 2 for r in self.active.values()),
+            (r.start_len + len(r.prompt) + len(r.output) + 2
+             for r in self.active.values()),
             default=2,
         )
-        nxt, eng.cache, _ = eng._decode_sample(
+        nxt, eng.cache = eng._decode_sample(
             eng.params,
             self._cur_tokens,
             eng.cache,
-            sub,
+            jnp.asarray(seeds),
+            jnp.asarray(steps),
             jnp.asarray(temp),
             jnp.asarray(topp),
             jnp.asarray(active),
             attn_window=eng.decode_window(max_len),
+            top_k=top_k,
         )
         self._pending_tokens.append(nxt)
         self._pending_slots.append(owners)
@@ -205,7 +282,8 @@ class ContinuousBatchingScheduler:
         if req.on_token is not None:
             req.on_token(tok)
         if len(req.output) >= req.gen.max_new_tokens or (
-            len(req.prompt) + len(req.output) >= self.engine.max_seq_len - 1
+            req.start_len + len(req.prompt) + len(req.output)
+            >= self.engine.max_seq_len - 1
         ):
             self._finish(req)
             return True

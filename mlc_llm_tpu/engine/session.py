@@ -40,15 +40,31 @@ class ChatConfig:
 
 
 class ChatSession:
+    """One chat session.
+
+    Two backends:
+    - engine mode (default): drives InferenceEngine.generate_stream
+      directly; binds engine slot 0 (single session per engine).
+    - scheduler mode (pass ``scheduler=``): reserves a persistent slot
+      on a ContinuousBatchingScheduler, so N sessions share one engine
+      and their turns ride the same batched decode program (the
+      north-star unification of chat runtime + batching engine).
+    """
+
     def __init__(
         self,
-        engine: InferenceEngine,
-        tokenizer: Tokenizer,
-        cfg: ModelConfig,
+        engine: Optional[InferenceEngine] = None,
+        tokenizer: Tokenizer = None,
+        cfg: ModelConfig = None,
         chat: ChatConfig = ChatConfig(),
         conv_template: Optional[str] = None,
         slot: int = 0,
+        scheduler=None,
     ):
+        if scheduler is not None:
+            engine = scheduler.engine
+            slot = scheduler.reserve_slot()
+        self.scheduler = scheduler
         self.engine = engine
         self.tokenizer = tokenizer
         self.cfg = cfg
@@ -56,6 +72,10 @@ class ChatSession:
         self.slot = slot
         self.conv: Conversation = get_conversation(conv_template or cfg.conv_template)
         self.total_len = 0  # tokens currently in the KV cache for this slot
+
+    def close(self) -> None:
+        if self.scheduler is not None:
+            self.scheduler.release_slot(self.slot)
 
     # ------------------------------------------------------------------ utils
     @property
@@ -69,9 +89,12 @@ class ChatSession:
 
     def _encode_prompt(self, text: str, first_chunk: bool) -> List[int]:
         ids = self.tokenizer.encode(text)
-        if first_chunk and self.cfg.bos_token_id is not None and self.cfg.family == "llama":
-            # llama prepends BOS on the first chunk; vicuna drops it on
-            # later turns (llm_chat.cc:682-684)
+        # the reference encodes with add_bos=true for ALL families
+        # (llm_chat.cc:493) and only vicuna_v1.1 stops prepending BOS
+        # after the first turn (llm_chat.cc:682-684)
+        if self.cfg.bos_token_id is not None and (
+            first_chunk or self.conv.name != "vicuna_v1.1"
+        ):
             ids = [self.cfg.bos_token_id] + ids
         return ids
 
@@ -108,11 +131,38 @@ class ChatSession:
             tokens = tokens[-(max_window - mean_gen) :]
         return tokens
 
+    # ---------------------------------------------------------- token sources
+    def _engine_tokens(self, tokens: List[int], gen: GenerationConfig):
+        assert self.slot == 0, "engine-mode sessions bind slot 0; use scheduler="
+        for _, tok in self.engine.generate_stream(
+            [tokens], gen, reset=(self.total_len == 0)
+        ):
+            yield tok
+
+    def _scheduler_tokens(self, tokens: List[int], gen: GenerationConfig):
+        from collections import deque
+
+        out = deque()
+        req = self.scheduler.submit(
+            tokens, gen, on_token=out.append,
+            pin_slot=self.slot, append=self.total_len > 0,
+        )
+        try:
+            while not req.done and self.scheduler.has_work():
+                self.scheduler.step()
+                while out:
+                    yield out.popleft()
+            self.scheduler._drain(all_remaining=True)
+            while out:
+                yield out.popleft()
+        finally:
+            if not req.done:  # consumer stopped early (stop string)
+                self.scheduler.cancel(req)
+
     # ------------------------------------------------------------------ chat
     def chat_stream(self, user_text: str) -> Iterator[str]:
         """Yields incremental reply text as it is generated; the full
         reply is recorded in the conversation history at stream end."""
-        assert self.slot == 0, "sessions currently bind engine slot 0"
         self.conv.append(self.conv.roles[0], user_text)
         self.conv.append(self.conv.roles[1], None)
 
@@ -137,24 +187,30 @@ class ChatSession:
         stopped = False
         final_text = ""
 
-        for _, tok in self.engine.generate_stream(
-            [tokens], gen, reset=(self.total_len == 0)
-        ):
-            reply_ids.append(tok)
-            text = _strip_partial_utf8(self.tokenizer.decode(reply_ids))
-            if stop_str:
-                pos = text.find(stop_str)
-                if pos != -1:
-                    final_text = text[:pos]
-                    stopped = True
-                    break
-                # hold back a possible stop-string prefix at the tail
-                safe = len(text) - len(stop_str) + 1
-            else:
-                safe = len(text)
-            if safe > emitted_chars:
-                yield text[emitted_chars:safe]
-                emitted_chars = safe
+        source = (
+            self._scheduler_tokens(tokens, gen)
+            if self.scheduler is not None
+            else self._engine_tokens(tokens, gen)
+        )
+        try:
+            for tok in source:
+                reply_ids.append(tok)
+                text = _strip_partial_utf8(self.tokenizer.decode(reply_ids))
+                if stop_str:
+                    pos = text.find(stop_str)
+                    if pos != -1:
+                        final_text = text[:pos]
+                        stopped = True
+                        break
+                    # hold back a possible stop-string prefix at the tail
+                    safe = len(text) - len(stop_str) + 1
+                else:
+                    safe = len(text)
+                if safe > emitted_chars:
+                    yield text[emitted_chars:safe]
+                    emitted_chars = safe
+        finally:
+            source.close()
         if not stopped:
             final_text = _strip_partial_utf8(self.tokenizer.decode(reply_ids))
             if stop_str:

@@ -246,6 +246,13 @@ def _layer(
         h = h + attn_out + mlp_out
     else:
         h = h + mlp_out
+    if h.dtype == jnp.float16:
+        # fp16 activation clamp to +-55504, the reference's fp16-safety
+        # margin under float16's 65504 max (defined for all gpt_neox
+        # graphs, /root/reference/mlc_llm/relax_model/gpt_neox.py:120-131;
+        # applied here at every layer boundary so f16 presets don't
+        # overflow where the reference's wouldn't)
+        h = jnp.clip(h, jnp.float16(-55504.0), jnp.float16(55504.0))
     return h, ck, cv, cks, cvs
 
 

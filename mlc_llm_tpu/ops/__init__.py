@@ -24,6 +24,23 @@ def set_kernel_mode(mode: str) -> None:
     _KERNEL_MODE = mode
 
 
+# Set when weights are GSPMD-sharded over a >1-device mesh axis
+# (parallel.sharding.shard_params). pallas_call has no SPMD partitioning
+# rule for the fused dequant kernels, so auto mode must fall back to the
+# jnp path (which GSPMD partitions correctly) — forcing mode="pallas" on
+# sharded params is a user error. (ADVICE r1, medium.)
+_SHARDED_PARAMS = False
+
+
+def sharded_params() -> bool:
+    return _SHARDED_PARAMS
+
+
+def set_sharded_params(flag: bool) -> None:
+    global _SHARDED_PARAMS
+    _SHARDED_PARAMS = bool(flag)
+
+
 @contextmanager
 def use_kernels(mode: str):
     prev = kernel_mode()

@@ -44,10 +44,13 @@ def qmatmul(
         # MXU via XLA — the kernel would re-unpack per m-tile (VPU-bound)
         # m <= 256 keeps a single m-tile in the kernel (no re-unpack);
         # larger prefill blocks dequantize once and ride the MXU via XLA
+        from . import sharded_params
+
         use_pallas = mode == "pallas" or (
             mode == "auto"
             and m <= 256
             and jax.default_backend() not in ("cpu",)
+            and not sharded_params()
             and _supported_by_pallas(w)
         )
         if use_pallas:
@@ -95,9 +98,16 @@ def qmatmul_stacked(
             dequant_matmul_stacked_supported,
         )
 
+        from . import sharded_params
+
         use_pallas = dequant_matmul_stacked_supported(w.spec) and (
             mode == "pallas"
-            or (mode == "auto" and m <= 256 and jax.default_backend() != "cpu")
+            or (
+                mode == "auto"
+                and m <= 256
+                and jax.default_backend() != "cpu"
+                and not sharded_params()
+            )
         )
         if use_pallas:
             y = dequant_matmul_stacked(x, w, layer, out_dtype=out_dtype)

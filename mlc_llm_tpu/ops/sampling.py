@@ -90,21 +90,53 @@ def sample_token(
     temperature: Array | float = 0.7,
     top_p: Array | float = 0.95,
     greedy: Optional[bool] = None,
+    top_k: int = 64,
 ) -> Array:
     """Temperature/top-p sample with the reference's greedy cutoff.
 
     `greedy` must be a Python bool (trace-time branch) when given;
     otherwise temperature < 1e-6 selects argmax via lax.cond-free
     select (both branches are cheap).
+
+    top_k (static) bounds the nucleus prefilter; 0 = exact full-vocab
+    top-p (the reference's sample_top_p_from_prob semantics). The
+    prefilter is an approximation only when the nucleus needs more than
+    top_k tokens (flat distributions / top_p near 1) — expose it via
+    GenerationConfig.top_k when that matters.
     """
     logits = logits.astype(jnp.float32)
     argmax = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if greedy is True:
         return argmax
-    sampled = sample_top_p(logits, key, temperature, top_p)
+    sampled = sample_top_p(logits, key, temperature, top_p, top_k=top_k)
     if greedy is False:
         return sampled
     t = jnp.asarray(temperature, jnp.float32)
     if t.ndim == 0:
         t = jnp.broadcast_to(t, (logits.shape[0],))
     return jnp.where(t < 1e-6, argmax, sampled)
+
+
+def sample_token_perslot(
+    logits: Array,
+    keys: Array,
+    temperature: Array,
+    top_p: Array,
+    top_k: int = 64,
+) -> Array:
+    """Per-slot-key sampling for the continuous-batching decode step.
+
+    keys: [B] PRNG keys (one per slot). Each slot draws from its OWN
+    key stream, so a request's sampling is reproducible from its seed
+    regardless of which other requests share the batch (the reference
+    is batch-1 so gets this for free; llm_chat.cc:963-975).
+    """
+    temperature = jnp.broadcast_to(
+        jnp.asarray(temperature, jnp.float32), (logits.shape[0],)
+    )
+    top_p = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (logits.shape[0],))
+
+    def one(lg, k, t, p):
+        return sample_token(lg[None], k, t[None], p[None], top_k=top_k)[0]
+
+    return jax.vmap(one)(logits, keys, temperature, top_p)

@@ -131,6 +131,12 @@ def param_shardings(params, mesh: Mesh):
 
 
 def shard_params(params, mesh: Mesh):
+    from ..ops import set_sharded_params
+
+    if any(mesh.shape[ax] > 1 for ax in mesh.axis_names):
+        # fused Pallas kernels have no SPMD partitioning rule; flip auto
+        # kernel routing to the GSPMD-partitioned jnp path (ADVICE r1)
+        set_sharded_params(True)
     return jax.device_put(params, param_shardings(params, mesh))
 
 

@@ -134,30 +134,52 @@ def test_quantized_forward_runs_all_formats(quant):
 
 
 def test_batch_with_mixed_lengths():
-    # two slots with different cache lengths share one decode step
+    """Unequal-length batched prefill parity: two prompts of different
+    lengths padded into ONE forward call must match their solo runs
+    (per-slot seq_lens drive masks/positions), and a shared decode step
+    from that state must also match per-slot solo decodes."""
     cfg = get_config("tiny-llama")
     params = init_random_params(cfg, "f32", seed=4)
-    cache = init_kv_cache(cfg, batch=2, max_len=32, dtype=jnp.float32)
 
     rng = np.random.default_rng(5)
-    t0 = jnp.asarray(_tokens(rng, 1, 9, cfg.vocab_size), jnp.int32)
-    t1 = jnp.asarray(_tokens(rng, 1, 5, cfg.vocab_size), jnp.int32)
+    t0 = _tokens(rng, 1, 9, cfg.vocab_size)
+    t1 = _tokens(rng, 1, 5, cfg.vocab_size)
 
-    # separate single-slot runs as reference
+    # solo references (each its own cache)
     ca = init_kv_cache(cfg, batch=1, max_len=32, dtype=jnp.float32)
-    la, _ = forward(params, cfg, t0, ca, last_only=True)
+    la, ca = forward(params, cfg, jnp.asarray(t0), ca, last_only=True)
     cb = init_kv_cache(cfg, batch=1, max_len=32, dtype=jnp.float32)
-    lb, _ = forward(params, cfg, t1, cb, last_only=True)
+    lb, cb = forward(params, cfg, jnp.asarray(t1), cb, last_only=True)
 
-    # batched: prefill slot0 with 9, slot1 padded to 9 but lengths fixed after
-    # emulate per-slot prefill by running each slot's tokens with vmap-style
-    # uniform S: prefill slot1 first (5), then slot0 (9) via masking is the
-    # engine's job; here verify per-slot lengths drive positions correctly by
-    # prefilling both with their own call on a shared cache
-    _, cache = forward(params, cfg, jnp.concatenate([t1, t1]), cache, last_only=True)
-    assert cache.lengths.tolist() == [5, 5]
-    np.testing.assert_allclose(np.asarray(lb), np.asarray(lb))
-    del la, lb
+    # batched: slot1 zero-padded 5 -> 9, seq_lens [9, 5]
+    batch_toks = np.zeros((2, 9), np.int32)
+    batch_toks[0] = t0[0]
+    batch_toks[1, :5] = t1[0]
+    cache = init_kv_cache(cfg, batch=2, max_len=32, dtype=jnp.float32)
+    lab, cache = forward(
+        params, cfg, jnp.asarray(batch_toks), cache,
+        seq_lens=jnp.asarray([9, 5], jnp.int32), last_only=True,
+    )
+    assert cache.lengths.tolist() == [9, 5]
+    np.testing.assert_allclose(np.asarray(lab[0]), np.asarray(la[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lab[1]), np.asarray(lb[0]),
+                               rtol=1e-5, atol=1e-5)
+
+    # one shared decode step at mixed cache lengths
+    nxt = np.asarray([[3], [7]], np.int32)
+    ld, cache = forward(params, cfg, jnp.asarray(nxt), cache,
+                        seq_lens=jnp.asarray([1, 1], jnp.int32),
+                        last_only=True)
+    lda, _ = forward(params, cfg, jnp.asarray(nxt[:1]), ca,
+                     seq_lens=jnp.asarray([1], jnp.int32), last_only=True)
+    ldb, _ = forward(params, cfg, jnp.asarray(nxt[1:]), cb,
+                     seq_lens=jnp.asarray([1], jnp.int32), last_only=True)
+    assert cache.lengths.tolist() == [10, 6]
+    np.testing.assert_allclose(np.asarray(ld[0]), np.asarray(lda[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld[1]), np.asarray(ldb[0]),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_gqa_forward_matches_hf():
@@ -184,3 +206,29 @@ def test_gqa_forward_matches_hf():
         init_kv_cache(cfg, 1, 32, jnp.float32), last_only=False,
     )
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
+
+
+def test_fp16_activation_clamp():
+    """f16 compute carries the reference's +-55504 activation clamp
+    (gpt_neox.py:120-131) at each layer boundary."""
+    cfg = get_config("tiny-gpt_neox")
+    params = init_random_params(cfg, "q4f16", seed=7)
+    toks = jnp.asarray([[1, 2, 3]], jnp.int32)
+    cache = init_kv_cache(cfg, batch=1, max_len=8, dtype=jnp.float16)
+
+    # (55504 itself is not f16-representable; the jaxpr holds a rounded
+    # constant, so count clip ops instead: the f16 graph must carry one
+    # more than the bf16 graph — the layer-boundary activation clamp)
+    def nclips(quant, cdt):
+        p = init_random_params(cfg, quant, seed=7)
+        c = init_kv_cache(cfg, batch=1, max_len=8, dtype=cdt)
+        return str(
+            jax.make_jaxpr(
+                lambda p_, t_, c_: forward(p_, cfg, t_, c_, last_only=True)
+            )(p, toks, c)
+        ).count("clip")
+
+    assert nclips("q4f16", jnp.float16) == nclips("q4bf16", jnp.bfloat16) + 1
+
+    logits, _ = forward(params, cfg, toks, cache, last_only=True)
+    assert np.isfinite(np.asarray(logits)).all()

@@ -95,3 +95,90 @@ def test_window_shrinks_after_long_request_finishes(engine):
     assert short.done
     want = engine.generate([[7, 8]], _greedy(6))[0]
     assert short.output == want
+
+
+def test_per_request_seed_reproducible_across_batch_compositions(engine):
+    """GenerationConfig.seed must reproduce a request's sampled stream
+    regardless of what else shares the batch (VERDICT r1 weak #8)."""
+    gen = GenerationConfig(max_new_tokens=6, temperature=1.1, top_p=0.9, seed=42)
+
+    sched = ContinuousBatchingScheduler(engine, seed=1)
+    solo = sched.submit([5, 6, 7], gen)
+    sched.run()
+
+    sched2 = ContinuousBatchingScheduler(engine, seed=2)
+    crowd = [sched2.submit([i + 2, i + 9], _greedy(8)) for i in range(3)]
+    again = sched2.submit([5, 6, 7], gen)
+    sched2.run()
+    assert all(r.done for r in crowd)
+    assert again.output == solo.output
+
+    # and unseeded requests with identical prompts do NOT correlate
+    s3 = ContinuousBatchingScheduler(engine, seed=3)
+    hot = GenerationConfig(max_new_tokens=8, temperature=2.0, top_p=1.0)
+    a = s3.submit([5, 6, 7], hot)
+    b = s3.submit([5, 6, 7], hot)
+    s3.run()
+    assert a.output != b.output
+
+
+def test_admission_clamp_when_max_new_tokens_exceeds_window(engine):
+    """prompt >= max_seq_len with huge max_new_tokens used to keep the
+    wrong end of the prompt and crash bucket_for (ADVICE r1)."""
+    sched = ContinuousBatchingScheduler(engine)
+    long_prompt = list(range(1, engine.max_seq_len + 30))
+    req = sched.submit(long_prompt, GenerationConfig(
+        max_new_tokens=engine.max_seq_len + 5, temperature=0.0))
+    sched.run()
+    assert req.done
+    assert len(req.prompt) >= 1
+    assert req.prompt == long_prompt[-len(req.prompt):]  # newest end kept
+
+
+def test_exact_top_p_path(engine):
+    """top_k=0 requests the exact full-vocab nucleus sampler."""
+    sched = ContinuousBatchingScheduler(engine, seed=5)
+    req = sched.submit([4, 5], GenerationConfig(
+        max_new_tokens=4, temperature=1.0, top_p=0.999, top_k=0, seed=9))
+    sched.run()
+    assert req.done and len(req.output) >= 1
+
+
+def test_sessions_share_one_scheduler(engine):
+    """N ChatSessions ride one scheduler: reserved slots, multi-turn
+    append-prefill, interleaved turns (VERDICT r1 weak #7)."""
+    from mlc_llm_tpu.engine.session import ChatConfig, ChatSession
+    from mlc_llm_tpu.models import get_config
+
+    class ByteTok:
+        def encode(self, s):
+            return [b % 50 + 2 for b in s.encode()]
+
+        def decode(self, ids):
+            return "".join(chr(i + 64) for i in ids)
+
+    cfg = get_config("tiny-llama").replace(max_seq_len=64)
+    chat = ChatConfig(temperature=0.0, max_gen_len=6, mean_gen_len=6,
+                      max_window_size=64)
+    sched = ContinuousBatchingScheduler(engine)
+    s1 = ChatSession(tokenizer=ByteTok(), cfg=cfg, chat=chat,
+                     conv_template="vicuna_v1.1", scheduler=sched)
+    s2 = ChatSession(tokenizer=ByteTok(), cfg=cfg, chat=chat,
+                     conv_template="dolly", scheduler=sched)
+    assert s1.slot != s2.slot
+
+    r1a = s1.ask("Hi")
+    r2a = s2.ask("Yo")
+    r1b = s1.ask("More")  # turn 2: append-prefill into the SAME slot
+    assert isinstance(r1a, str) and isinstance(r2a, str) and isinstance(r1b, str)
+    assert s1.total_len > 0 and s2.total_len > 0
+
+    # a session's greedy reply is unaffected by sharing the scheduler:
+    # fresh single-session run reproduces turn 1
+    sched_solo = ContinuousBatchingScheduler(engine)
+    solo = ChatSession(tokenizer=ByteTok(), cfg=cfg, chat=chat,
+                       conv_template="vicuna_v1.1", scheduler=sched_solo)
+    assert solo.ask("Hi") == r1a
+    s1.close()
+    s2.close()
+    solo.close()

@@ -80,3 +80,31 @@ def test_engine_runs_with_sharded_params():
     ref_eng = InferenceEngine(cfg, params, max_batch=1, max_seq_len=32)
     ref = ref_eng.generate([[5, 6, 7]], GenerationConfig(max_new_tokens=4, temperature=0.0))
     assert out == ref
+
+
+def test_sharded_params_gates_pallas_routing(monkeypatch):
+    """shard_params over a >1-device mesh must flip auto kernel routing
+    to the GSPMD-partitioned jnp path: pallas_call has no SPMD rule for
+    the fused dequant kernels (ADVICE r1, medium)."""
+    import jax as _jax
+    import numpy as _np
+
+    from mlc_llm_tpu import ops
+    from mlc_llm_tpu.ops.matmul import qmatmul
+    from mlc_llm_tpu.parallel.sharding import make_mesh, shard_params
+    from mlc_llm_tpu.quant import quantize
+
+    ops.set_sharded_params(False)
+    mesh = make_mesh(tp=4, dp=2)
+    w = quantize(_np.random.default_rng(0)
+                 .standard_normal((64, 256)).astype(_np.float32), "q4bf16")
+    try:
+        shard_params({"layers/wqkv": w}, mesh)
+        assert ops.sharded_params()
+        # auto mode now routes to jnp even when the backend looks like a
+        # TPU (where the un-partitionable pallas path would be chosen)
+        monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+        y = qmatmul(jnp.ones((1, 64), jnp.bfloat16), w)
+        assert y.shape == (1, 256)
+    finally:
+        ops.set_sharded_params(False)
