@@ -95,9 +95,24 @@ def main(argv=None):
         help="tokenizer encode/decode round-trip smoke "
              "(llm_chat.cc:752-765 analog)",
     )
+    ap.add_argument(
+        "--debug-dump-dir", default=None,
+        help="dump each engine program's jaxpr / StableHLO / optimized "
+             "HLO to this directory and exit (the reference's "
+             "--debug-dump-script/--debug-dump-shader analog, "
+             "build.py:68-101)",
+    )
     args = ap.parse_args(argv)
 
     session = build_session(args)
+
+    if args.debug_dump_dir:
+        from .debug.dump import dump_engine_programs
+
+        written = dump_engine_programs(session.engine, args.debug_dump_dir)
+        for w in written:
+            print(f"wrote {args.debug_dump_dir}/{w}")
+        return
 
     if args.try_tokenizer:
         for text in ("Hello world!", "你好 123", "<s>[INST]"):

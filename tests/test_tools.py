@@ -98,3 +98,26 @@ def test_tune_bench_variant_runs():
     cfg = get_config("vicuna-v1-7b")
     shapes = model_shapes(cfg)
     assert (4096, 32000) in shapes and (11008, 4096) in shapes
+
+
+def test_debug_dump_programs(tmp_path):
+    """Compiler-stage dump surface (reference build.py:68-101 analog)."""
+    from mlc_llm_tpu.debug.dump import dump_engine_programs
+    from mlc_llm_tpu.engine import InferenceEngine
+    from mlc_llm_tpu.models import get_config, init_random_params
+
+    cfg = get_config("tiny-llama")
+    eng = InferenceEngine(cfg, init_random_params(cfg, "q4bf16", seed=0),
+                          max_batch=2, max_seq_len=64)
+    outdir = str(tmp_path / "dumps")
+    written = dump_engine_programs(eng, outdir, prefill_bucket=16)
+    import os
+
+    assert any(w.startswith("prefill.stablehlo") for w in written)
+    assert any("decode" in w and "hlo_opt" in w for w in written)
+    for w in written:
+        p = os.path.join(outdir, w)
+        assert os.path.getsize(p) > 100, w
+    # the stablehlo dump names the real module ops
+    text = open(os.path.join(outdir, "prefill.stablehlo.txt")).read()
+    assert "stablehlo" in text or "module" in text
