@@ -64,8 +64,15 @@ class Request:
 
 
 class ContinuousBatchingScheduler:
-    def __init__(self, engine: InferenceEngine, seed: int = 0):
+    def __init__(self, engine: InferenceEngine, seed: int = 0, slots=None):
+        """slots: engine slots this scheduler owns (default: all).
+        Multi-host serving gives each host's scheduler its
+        process_local_slots range (parallel/multihost.py) so request
+        state never migrates across hosts."""
         self.engine = engine
+        self.slots = list(slots) if slots is not None else list(
+            range(engine.max_batch)
+        )
         self.pending: Deque[Request] = deque()
         self.active: Dict[int, Request] = {}  # slot -> request
         self._ids = itertools.count()
@@ -100,7 +107,7 @@ class ContinuousBatchingScheduler:
     def reserve_slot(self) -> int:
         """Reserve a slot for a session: it is never handed to other
         requests and keeps its KV state across that session's turns."""
-        for s in range(self.engine.max_batch):
+        for s in self.slots:
             if s not in self._reserved:
                 self._reserved.add(s)
                 return s
@@ -135,7 +142,7 @@ class ContinuousBatchingScheduler:
     # ----------------------------------------------------------------- steps
     def _free_slots(self) -> List[int]:
         return [
-            s for s in range(self.engine.max_batch)
+            s for s in self.slots
             if s not in self.active and s not in self._reserved
         ]
 

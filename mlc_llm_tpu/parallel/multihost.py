@@ -38,9 +38,14 @@ def initialize(
     process_id: Optional[int] = None,
 ) -> None:
     """jax.distributed bring-up. No-op when single-process and no
-    coordinator is configured."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    coordinator is configured.
+
+    Must run before anything touches the XLA backend — so the
+    already-initialized check reads jax.distributed's client state
+    instead of calling jax.process_count() (which would itself
+    initialize the backend)."""
+    if jax.distributed.is_initialized():
+        return
     coord = coordinator_address or os.environ.get("MLC_COORDINATOR")
     if coord is None and num_processes in (None, 1):
         return

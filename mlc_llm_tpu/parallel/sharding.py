@@ -140,17 +140,35 @@ def shard_params(params, mesh: Mesh):
     return jax.device_put(params, param_shardings(params, mesh))
 
 
-def cache_shardings(mesh: Mesh, int8: bool = False) -> KVCache:
-    """[L, B, H, Smax, D]: batch over dp, heads over tp."""
-    kv = NamedSharding(mesh, P(None, "dp", "tp", None, None))
-    sc = NamedSharding(mesh, P(None, "dp", "tp", None)) if int8 else None
-    return KVCache(
-        k=kv, v=kv, lengths=NamedSharding(mesh, P("dp")), k_scale=sc, v_scale=sc
-    )
+def cache_shardings(
+    mesh: Mesh, int8: bool = False, shapes: Optional[KVCache] = None
+) -> KVCache:
+    """[L, B, H, Smax, D]: batch over dp, heads over tp.
+
+    shapes (a KVCache of arrays) enables the same replicate-on-indivisible
+    fallback as param_shardings (tiny test configs with heads < tp)."""
+    axis_size = {name: mesh.shape[name] for name in mesh.axis_names}
+
+    def ns(spec, arr=None):
+        dims = list(spec)
+        if arr is not None:
+            for i, ax in enumerate(dims):
+                if ax is not None and arr.shape[i] % axis_size[ax] != 0:
+                    dims[i] = None
+        return NamedSharding(mesh, P(*dims))
+
+    kv_spec = (None, "dp", "tp", None, None)
+    sc_spec = (None, "dp", "tp", None)
+    k = ns(kv_spec, None if shapes is None else shapes.k)
+    v = ns(kv_spec, None if shapes is None else shapes.v)
+    sc_k = ns(sc_spec, None if shapes is None else shapes.k_scale) if int8 else None
+    sc_v = ns(sc_spec, None if shapes is None else shapes.v_scale) if int8 else None
+    lengths = ns(("dp",), None if shapes is None else shapes.lengths)
+    return KVCache(k=k, v=v, lengths=lengths, k_scale=sc_k, v_scale=sc_v)
 
 
 def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
-    s = cache_shardings(mesh, int8=cache.k_scale is not None)
+    s = cache_shardings(mesh, int8=cache.k_scale is not None, shapes=cache)
     put = lambda a, sh: None if a is None else jax.device_put(a, sh)
     return KVCache(
         k=jax.device_put(cache.k, s.k),
