@@ -60,7 +60,18 @@ class InferenceEngine:
         prefill_buckets: Sequence[int] = DEFAULT_BUCKETS,
     ):
         self.cfg = cfg
-        self.params = params
+        # zero-pad quantized k-groups to multiples of 32 so every matmul
+        # (notably w_out, k=11008 -> 344 groups at 7B) gets the widest
+        # group-partial kernel chunks; exact no-op numerically
+        from ..quant.groupwise import QuantizedTensor as _QT
+        from ..quant.groupwise import pad_quantized_groups as _pad
+
+        self.params = jax.tree.map(
+            lambda x: _pad(x) if isinstance(x, _QT) else x,
+            params,
+            is_leaf=lambda x: isinstance(x, _QT),
+        )
+        params = self.params
         self.max_batch = max_batch
         self.max_seq_len = max_seq_len or cfg.max_seq_len
         self.cache_dtype = cache_dtype

@@ -376,6 +376,298 @@ def _dequant_matmul_2d(
     return out[:m, :n]
 
 
+# --------------------------------------------------------------------------
+# Group-partial ("gp") kernel — round-2 bandwidth rework.
+#
+# The pairs kernel above is VPU-bound: every weight element pays an
+# i8->bf16 cast AND a bf16 scale-multiply (~2.4 VPU ops/elem -> ~420
+# GB/s measured on the 45 MB w_in shape). The gp kernel removes the
+# per-element scale-multiply by restructuring the math around GROUP
+# PARTIALS:
+#
+#   P[g, n] = sum_{k in group g} x[k] * q[k, n]        (UNSCALED codes)
+#   y[n]    = sum_g s[g, n] * P[g, n] + offset[g, n] * sx[g]
+#
+# P is computed on the MXU by dotting BLOCK-DIAGONAL activation chunks
+# (Cg groups per chunk; lhs [Cg*M, 16*Cg], one bf16 cast per element,
+# no multiply) against the raw i8 nibble planes; the scale/offset work
+# then touches only [groups, n] partials — 1/32nd of the elements. The
+# dense-banded MXU overhead is 4*M*Cg flops per weight byte, kept ~128
+# by shrinking Cg as M grows. Measured 46 us vs the pairs kernel's 137
+# us on the same 45 MB shape (scripts/kexp.py, same-process A/B).
+# Exact weight-only math (same bf16 product precision as pairs).
+
+
+def _gp_pick_cg(n_groups_tile: int, m: int) -> Optional[int]:
+    """Chunk width (groups per diagonal block). Bounded so the banded
+    MXU work (4*M*Cg flops/byte) stays far from the bf16 peak; must
+    divide the k-tile's group count; lane floor 16*Cg >= 128."""
+    budget = {1: 32, 2: 16, 4: 8, 8: 8}.get(m)
+    if budget is None:
+        for mm in (8, 4, 2, 1):
+            if m >= mm:
+                budget = {1: 32, 2: 16, 4: 8, 8: 8}[mm]
+                break
+    for c in (budget, 16, 8):
+        if c <= budget and n_groups_tile % c == 0:
+            return c
+    return None
+
+
+def gp_matmul_supported(spec: QuantSpec, n_groups: int, m: int) -> bool:
+    return (
+        spec.mode == "int4"
+        and spec.storage == "u32"
+        and spec.group_size == 32
+        and m <= 8
+        and _gp_pick_cg(n_groups, m) is not None
+    )
+
+
+def _prep_pairs_diag(x: Array, kw: int, Cg: int, dtype):
+    """x [M, K] -> block-diagonal (xdl, xdh), each [NC*Cg*M, 16*Cg].
+
+    Plane row p = 4r+j <-> k = 8r+2j (lo) / 8r+2j+1 (hi); group g owns
+    plane rows [16g, 16g+16); chunk c = Cg consecutive groups. Chunk
+    rows are ordered (group-slot u, batch m) so [Cg*M, BN] partials
+    reshape to [Cg, M, BN]."""
+    M = x.shape[0]
+    xr = x.reshape(M, kw, 4, 2)
+    xlo = xr[..., 0].reshape(M, kw * 4)
+    xhi = xr[..., 1].reshape(M, kw * 4)
+    nc = (kw * 4) // (16 * Cg)
+    eye = jnp.eye(Cg, dtype=jnp.float32)
+
+    def diag(v):
+        v5 = v.astype(jnp.float32).reshape(M, nc, Cg, 16)
+        v5 = v5.transpose(1, 2, 0, 3)  # [NC, Cg_v, M, 16]
+        d = v5[:, None] * eye[None, :, :, None, None]
+        d = d.transpose(0, 1, 3, 2, 4)  # [NC, Cg_u, M, Cg_v, 16]
+        return d.reshape(nc * Cg * M, 16 * Cg).astype(dtype)
+
+    return diag(xlo), diag(xhi)
+
+
+def _gp_body(xl_all, xh_all, w2d, s2d, z2d, acc, *, spec: QuantSpec, Cg: int,
+             cpt: int, M: int, interpret: bool):
+    """Shared chunk loop for the flat and stacked gp kernels.
+
+    xl_all/xh_all: [cpt*Cg*M, 16*Cg]; w2d: [BKW, BN] u32;
+    s2d/z2d: [Gt, BN]; acc: [Cg*M, BN] f32 (accumulated)."""
+    dn = (((1,), (0,)), ((), ()))
+    wpc = 4 * Cg
+    rpc = Cg * M
+    for c in range(cpt):
+        wc = w2d[c * wpc:(c + 1) * wpc, :]
+        lo8, hi8 = _nibble_planes(wc, interpret)
+        sc = s2d[c * Cg:(c + 1) * Cg, :].astype(jnp.float32)
+        if M > 1:
+            sc = _row_repeat(sc, M)
+        xl = xl_all[c * rpc:(c + 1) * rpc, :]
+        xh = xh_all[c * rpc:(c + 1) * rpc, :]
+        plo = jax.lax.dot_general(
+            xl, lo8.astype(xl.dtype), dn, preferred_element_type=jnp.float32
+        )
+        phi = jax.lax.dot_general(
+            xh, hi8.astype(xh.dtype), dn, preferred_element_type=jnp.float32
+        )
+        psum = plo + phi
+        sx = (
+            jnp.sum(xl, axis=1, keepdims=True)
+            + jnp.sum(xh, axis=1, keepdims=True)
+        ).astype(jnp.float32)
+        if spec.sym:
+            acc = acc + sc * (psum - float(spec.max_int) * sx)
+        else:
+            zc = z2d[c * Cg:(c + 1) * Cg, :].astype(jnp.float32)
+            if M > 1:
+                zc = _row_repeat(zc, M)
+            acc = acc + sc * psum + zc * sx
+    return acc
+
+
+def _kernel_gp(xdl_ref, xdh_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
+               spec: QuantSpec, Cg: int, cpt: int, M: int, k_steps: int,
+               out_dtype, interpret: bool):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] = _gp_body(
+        xdl_ref[:], xdh_ref[:], w_ref[:], s_ref[:], z_ref[:], acc_ref[:],
+        spec=spec, Cg=Cg, cpt=cpt, M=M, interpret=interpret,
+    )
+
+    @pl.when(kk == k_steps - 1)
+    def _():
+        a = acc_ref[:]
+        o_ref[:] = jnp.sum(a.reshape(Cg, M, a.shape[-1]), axis=0).astype(out_dtype)
+
+
+def _kernel_gp_stacked(l_ref, xdl_ref, xdh_ref, w_ref, s_ref, z_ref, o_ref,
+                       acc_ref, *, spec: QuantSpec, Cg: int, cpt: int, M: int,
+                       k_steps: int, out_dtype, interpret: bool):
+    """Stacked variant: weight/scale blocks of layer l_ref[0] are DMA'd
+    straight from the [L, ...] resting buffers via scalar-prefetch
+    index maps (same trick as _kernel_pairs_stacked)."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] = _gp_body(
+        xdl_ref[:], xdh_ref[:], w_ref[0], s_ref[0], z_ref[0], acc_ref[:],
+        spec=spec, Cg=Cg, cpt=cpt, M=M, interpret=interpret,
+    )
+
+    @pl.when(kk == k_steps - 1)
+    def _():
+        a = acc_ref[:]
+        o_ref[:] = jnp.sum(a.reshape(Cg, M, a.shape[-1]), axis=0).astype(out_dtype)
+
+
+def _gp_blocks(m: int, kw: int, n: int):
+    """Full-k tiles (k_steps=1) unless VMEM-bound; bn from the tuned
+    table else 512."""
+    tuned = _tuned_table().get(f"gp:{m}:{kw}:{n}")
+    if tuned:
+        return tuned[0], tuned[1]
+    bkw = kw
+    bn = _largest_divisor(n, (512, 384, 256, 128)) or 128
+    # keep the double-buffered weight tile under ~6 MB
+    while bkw * bn * 4 * 2 > 12 * 1024 * 1024 and bkw % 2 == 0 and (
+        (bkw // 2) % 4 == 0
+    ):
+        bkw //= 2
+    return bkw, bn
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "shape", "out_dtype", "interpret")
+)
+def _dequant_matmul_gp_2d(
+    x: Array,
+    data: Array,
+    scale: Array,
+    zero: Optional[Array],
+    *,
+    spec: QuantSpec,
+    shape,
+    out_dtype,
+    interpret: bool,
+) -> Array:
+    k, n = shape
+    m = x.shape[0]
+    kw, n_stored = data.shape
+    G = scale.shape[0]
+    k_stored = kw * spec.elems_per_word
+    if x.shape[1] != k_stored:
+        x = jnp.pad(x, ((0, 0), (0, k_stored - x.shape[1])))
+
+    bkw, bn = _gp_blocks(m, kw, n_stored)
+    k_steps = kw // bkw
+    Gt = G // k_steps
+    Cg = _gp_pick_cg(Gt, m)
+    cpt = (4 * bkw) // (16 * Cg)
+    xdl, xdh = _prep_pairs_diag(x, kw, Cg, x.dtype)
+
+    if zero is None:
+        zero = scale
+    kernel = functools.partial(
+        _kernel_gp, spec=spec, Cg=Cg, cpt=cpt, M=m, k_steps=k_steps,
+        out_dtype=out_dtype, interpret=interpret,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(1, n_stored // bn, k_steps),
+        in_specs=[
+            pl.BlockSpec((cpt * Cg * m, 16 * Cg), lambda i, j, kk: (kk, 0)),
+            pl.BlockSpec((cpt * Cg * m, 16 * Cg), lambda i, j, kk: (kk, 0)),
+            pl.BlockSpec((bkw, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((Gt, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((Gt, bn), lambda i, j, kk: (kk, j)),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda i, j, kk: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n_stored), out_dtype),
+        scratch_shapes=[pltpu.VMEM((Cg * m, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k_stored * n_stored,
+            bytes_accessed=data.size * 4 + scale.size * scale.dtype.itemsize
+            + m * k_stored * 2 + m * n_stored * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xdl, xdh, data, scale, zero)
+    return out[:, :n]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "shape", "out_dtype", "interpret")
+)
+def _dequant_matmul_gp_stacked_2d(
+    x: Array,
+    layer: Array,
+    data: Array,
+    scale: Array,
+    zero: Optional[Array],
+    *,
+    spec: QuantSpec,
+    shape,
+    out_dtype,
+    interpret: bool,
+) -> Array:
+    k, n = shape
+    m = x.shape[0]
+    _, kw, n_stored = data.shape
+    G = scale.shape[1]
+    k_stored = kw * spec.elems_per_word
+    if x.shape[1] != k_stored:
+        x = jnp.pad(x, ((0, 0), (0, k_stored - x.shape[1])))
+
+    bkw, bn = _gp_blocks(m, kw, n_stored)
+    k_steps = kw // bkw
+    Gt = G // k_steps
+    Cg = _gp_pick_cg(Gt, m)
+    cpt = (4 * bkw) // (16 * Cg)
+    xdl, xdh = _prep_pairs_diag(x, kw, Cg, x.dtype)
+
+    if zero is None:
+        zero = scale
+    kernel = functools.partial(
+        _kernel_gp_stacked, spec=spec, Cg=Cg, cpt=cpt, M=m, k_steps=k_steps,
+        out_dtype=out_dtype, interpret=interpret,
+    )
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1, n_stored // bn, k_steps),
+        in_specs=[
+            pl.BlockSpec((cpt * Cg * m, 16 * Cg), lambda i, j, kk, l: (kk, 0)),
+            pl.BlockSpec((cpt * Cg * m, 16 * Cg), lambda i, j, kk, l: (kk, 0)),
+            pl.BlockSpec((1, bkw, bn), lambda i, j, kk, l: (l[0], kk, j)),
+            pl.BlockSpec((1, Gt, bn), lambda i, j, kk, l: (l[0], kk, j)),
+            pl.BlockSpec((1, Gt, bn), lambda i, j, kk, l: (l[0], kk, j)),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda i, j, kk, l: (0, j)),
+        scratch_shapes=[pltpu.VMEM((Cg * m, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((m, n_stored), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(layer, xdl, xdh, data, scale, zero)
+    return out[:, :n]
+
+
 def _kernel_pairs_stacked(l_ref, xlo_ref, xhi_ref, w_ref, s_ref, z_ref, o_ref,
                           acc_ref, *, spec: QuantSpec, k_steps: int, out_dtype,
                           interpret: bool):
@@ -498,10 +790,18 @@ def dequant_matmul_stacked(
         m *= d
     x2 = x.reshape(m, x.shape[-1])
     interpret = jax.default_backend() == "cpu"
-    y = _dequant_matmul_stacked_2d(
-        x2, jnp.asarray(layer, jnp.int32).reshape(1), w.data, w.scale, w.zero,
-        spec=w.spec, shape=w.shape, out_dtype=out_dtype, interpret=interpret,
-    )
+    if gp_matmul_supported(w.spec, w.scale.shape[1], m):
+        y = _dequant_matmul_gp_stacked_2d(
+            x2, jnp.asarray(layer, jnp.int32).reshape(1), w.data, w.scale,
+            w.zero, spec=w.spec, shape=w.shape, out_dtype=out_dtype,
+            interpret=interpret,
+        )
+    else:
+        y = _dequant_matmul_stacked_2d(
+            x2, jnp.asarray(layer, jnp.int32).reshape(1), w.data, w.scale,
+            w.zero, spec=w.spec, shape=w.shape, out_dtype=out_dtype,
+            interpret=interpret,
+        )
     return y.reshape(*lead, w.shape[1])
 
 
@@ -514,8 +814,15 @@ def dequant_matmul(x: Array, w: QuantizedTensor, out_dtype=None) -> Array:
         m *= d
     x2 = x.reshape(m, x.shape[-1])
     interpret = jax.default_backend() == "cpu"
-    y = _dequant_matmul_2d(
-        x2, w.data, w.scale, w.zero,
-        spec=w.spec, shape=w.shape, out_dtype=out_dtype, interpret=interpret,
-    )
+    if gp_matmul_supported(w.spec, w.scale.shape[0], m):
+        y = _dequant_matmul_gp_2d(
+            x2, w.data, w.scale, w.zero,
+            spec=w.spec, shape=w.shape, out_dtype=out_dtype,
+            interpret=interpret,
+        )
+    else:
+        y = _dequant_matmul_2d(
+            x2, w.data, w.scale, w.zero,
+            spec=w.spec, shape=w.shape, out_dtype=out_dtype, interpret=interpret,
+        )
     return y.reshape(*lead, w.shape[1])

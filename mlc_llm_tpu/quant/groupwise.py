@@ -210,6 +210,40 @@ def quantize(w: Array, spec) -> QuantizedTensor:
     return QuantizedTensor(data=data, scale=scale, zero=zero, spec=spec, shape=(k, n))
 
 
+def pad_quantized_groups(qt: QuantizedTensor, mult: int = 32) -> QuantizedTensor:
+    """Zero-pad the k axis so n_groups becomes a multiple of `mult`.
+
+    Purely a kernel-enablement transform (the group-partial Pallas
+    kernel wants wide power-of-two chunk widths, ops/pallas/
+    dequant_matmul.py): logical shape is unchanged, padded groups have
+    zero scale/zero offset AND the activations are zero there, so every
+    compute path is exact. Works on flat [KW, N] and layer-stacked
+    [L, KW, N] tensors (pads axis -2)."""
+    spec = qt.spec
+    if not spec.is_quantized or spec.storage not in ("u32", "u16"):
+        return qt
+    G = qt.scale.shape[-2]
+    dg = (-G) % mult
+    if dg == 0:
+        return qt
+    wpg = -(-spec.group_size // spec.elems_per_word)
+
+    def padrows(a, rows):
+        if a is None:
+            return None
+        pw = [(0, 0)] * a.ndim
+        pw[-2] = (0, rows)
+        return jnp.pad(a, pw)
+
+    return QuantizedTensor(
+        data=padrows(qt.data, dg * wpg),
+        scale=padrows(qt.scale, dg),
+        zero=padrows(qt.zero, dg),
+        spec=spec,
+        shape=qt.shape,
+    )
+
+
 def _codes(qt: QuantizedTensor) -> Array:
     """Unpack storage to per-element integer codes [k_stored, n] (int32)."""
     spec = qt.spec

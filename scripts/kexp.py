@@ -153,15 +153,20 @@ def dma_probe(qt, bkw, bn, supertile=False):
 
 # ------------------------------------------------------- group-partial kernels
 
-def _gp_kernel(xdl_ref, xdh_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
-               variant, sym, max_int, Cg, cpt, k_steps, out_dtype):
-    """Group-partial dequant-gemv, m=1.
+def _row_repeat(a, r):
+    g, n = a.shape
+    return jnp.broadcast_to(a[:, None, :], (g, r, n)).reshape(g * r, n)
 
-    xdl/xdh_ref: [cpt*Cg, 16*Cg] block-diagonal activation chunks
+
+def _gp_kernel(xdl_ref, xdh_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
+               variant, sym, max_int, Cg, cpt, k_steps, M, out_dtype):
+    """Group-partial dequant-gemv.
+
+    xdl/xdh_ref: [cpt*Cg*M, 16*Cg] block-diagonal activation chunks
                  (bf16 for gp16/bits16, int8 for w4a8)
     w_ref:       [bkw, BN] packed u32
     s_ref/z_ref: [Gt, BN] scales / minima (z aliased to s when sym)
-    acc_ref:     [Cg, BN] f32 — partial contributions, summed at the end
+    acc_ref:     [Cg*M, BN] f32 — partial contributions, summed at end
     """
     kk = pl.program_id(1)
 
@@ -172,11 +177,14 @@ def _gp_kernel(xdl_ref, xdh_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
     dn = (((1,), (0,)), ((), ()))
     acc = acc_ref[:]
     wpc = 4 * Cg  # u32 words per chunk (32*Cg k-elems)
+    rpc = Cg * M  # lhs rows per chunk
     for c in range(cpt):
         wc = w_ref[c * wpc:(c + 1) * wpc, :]
         sc = s_ref[c * Cg:(c + 1) * Cg, :].astype(jnp.float32)
-        xl = xdl_ref[c * Cg:(c + 1) * Cg, :]
-        xh = xdh_ref[c * Cg:(c + 1) * Cg, :]
+        if M > 1:
+            sc = _row_repeat(sc, M)
+        xl = xdl_ref[c * rpc:(c + 1) * rpc, :]
+        xh = xdh_ref[c * rpc:(c + 1) * rpc, :]
         if variant == "bits16":
             # two bf16 values per u32: bits = 0x4300 | q -> value is
             # exactly 128 + q (ulp at 2^7 is 1, so all 16 codes are
@@ -235,30 +243,38 @@ def _gp_kernel(xdl_ref, xdh_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
                 acc += sc * (psum - float(max_int) * sx)
             else:
                 zc = z_ref[c * Cg:(c + 1) * Cg, :].astype(jnp.float32)
+                if M > 1:
+                    zc = _row_repeat(zc, M)
                 acc += sc * psum + zc * sx
     acc_ref[:] = acc
 
     @pl.when(kk == k_steps - 1)
     def _():
-        o_ref[:] = jnp.sum(acc_ref[:], axis=0, keepdims=True).astype(out_dtype)
+        a = acc_ref[:]
+        out = jnp.sum(a.reshape(Cg, M, a.shape[-1]), axis=0)
+        o_ref[:] = out.astype(out_dtype)
 
 
 def prep_pairs_diag(x, kw, Cg, dtype):
-    """x [1, K] -> block-diagonal (xdl, xdh), each [NC*Cg, 16*Cg].
+    """x [M, K] -> block-diagonal (xdl, xdh), each [NC*Cg*M, 16*Cg].
 
     Plane row p = 4r+j <-> k = 8r+2j (lo) / +1 (hi); group g = rows
-    [16g, 16g+16); chunk c = Cg consecutive groups."""
-    K = kw * 8
-    xr = x.reshape(kw, 4, 2)
-    xlo = xr[..., 0].reshape(kw * 4)
-    xhi = xr[..., 1].reshape(kw * 4)
+    [16g, 16g+16); chunk c = Cg consecutive groups. Rows within a chunk
+    are (group-slot u, batch m) so [Cg*M, bn] partials reshape to
+    [Cg, M, bn]."""
+    M = x.shape[0]
+    xr = x.reshape(M, kw, 4, 2)
+    xlo = xr[..., 0].reshape(M, kw * 4)
+    xhi = xr[..., 1].reshape(M, kw * 4)
     nc = (kw * 4) // (16 * Cg)
     eye = jnp.eye(Cg, dtype=jnp.float32)
 
     def diag(v):
-        v3 = v.astype(jnp.float32).reshape(nc, Cg, 16)
-        d = v3[:, None, :, :] * eye[None, :, :, None]
-        return d.reshape(nc * Cg, 16 * Cg).astype(dtype)
+        v5 = v.astype(jnp.float32).reshape(M, nc, Cg, 16)
+        v5 = v5.transpose(1, 2, 0, 3)  # [NC, Cg_v, M, 16]
+        d = v5[:, None] * eye[None, :, :, None, None]  # [NC, Cg_u, Cg_v, M, 16]
+        d = d.transpose(0, 1, 3, 2, 4)  # [NC, Cg_u, M, Cg_v, 16]
+        return d.reshape(nc * Cg * M, 16 * Cg).astype(dtype)
 
     return diag(xlo), diag(xhi)
 
@@ -290,11 +306,13 @@ def prep_bits16_diag(x, kw, Cg):
 
 def gp_matmul(x, qt, *, variant="gp16", Cg=16, bn=512, bkw=None,
               out_dtype=jnp.bfloat16):
-    """m=1 group-partial dequant matmul. Returns [1, n]."""
+    """Group-partial dequant matmul, x [M, K]. Returns [M, n]."""
     spec = qt.spec
     kw, n = qt.data.shape
+    M = x.shape[0]
     G = qt.scale.shape[0]
     assert G % Cg == 0 and spec.group_size == 32
+    assert variant != "bits16" or M == 1
     if bkw is None:
         bkw = kw
     k_steps, n_steps = kw // bkw, n // bn
@@ -319,26 +337,26 @@ def gp_matmul(x, qt, *, variant="gp16", Cg=16, bn=512, bkw=None,
     zero = qt.zero if qt.zero is not None else qt.scale
     kern = functools.partial(
         _gp_kernel, variant=variant, sym=spec.sym, max_int=spec.max_int,
-        Cg=Cg, cpt=cpt, k_steps=k_steps, out_dtype=out_dtype)
+        Cg=Cg, cpt=cpt, k_steps=k_steps, M=M, out_dtype=out_dtype)
     y = pl.pallas_call(
         kern,
         grid=(n_steps, k_steps),
         in_specs=[
-            pl.BlockSpec((cpt * Cg, 16 * Cg), lambda j, kk: (kk, 0)),
-            pl.BlockSpec((cpt * Cg, 16 * Cg), lambda j, kk: (kk, 0)),
+            pl.BlockSpec((cpt * Cg * M, 16 * Cg), lambda j, kk: (kk, 0)),
+            pl.BlockSpec((cpt * Cg * M, 16 * Cg), lambda j, kk: (kk, 0)),
             pl.BlockSpec((bkw, bn), lambda j, kk: (kk, j)),
             pl.BlockSpec((Gt, bn), lambda j, kk: (kk, j)),
             pl.BlockSpec((Gt, bn), lambda j, kk: (kk, j)),
         ],
-        out_specs=pl.BlockSpec((1, bn), lambda j, kk: (0, j)),
-        out_shape=jax.ShapeDtypeStruct((1, n), out_dtype),
-        scratch_shapes=[pltpu.VMEM((Cg, bn), jnp.float32)],
+        out_specs=pl.BlockSpec((M, bn), lambda j, kk: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((M, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((Cg * M, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
     )(xdl, xdh, qt.data, qt.scale, zero)
     if variant == "w4a8":
         y = (y.astype(jnp.float32) * xs[:, None]).astype(out_dtype)
-    return y
+    return y[:, : qt.shape[1]]
 
 
 # ---------------------------------------------------------------- experiments
