@@ -61,6 +61,16 @@ def main():
         n_short, n_long = 2, 6
 
     params = init_random_params(cfg, "q4bf16", seed=0, fabricate=True)
+    # group-pad so w_out (344 groups at 7B) gets full-width gp-kernel
+    # chunks (the engine does this at init; bench drives forward() raw)
+    from mlc_llm_tpu.quant.groupwise import QuantizedTensor as _QT
+    from mlc_llm_tpu.quant.groupwise import pad_quantized_groups as _pad
+
+    params = jax.tree.map(
+        lambda x: _pad(x) if isinstance(x, _QT) else x,
+        params,
+        is_leaf=lambda x: isinstance(x, _QT),
+    )
     max_len = min(cfg.max_seq_len, 2048)
     cache = init_kv_cache(cfg, batch=1, max_len=max_len)
 

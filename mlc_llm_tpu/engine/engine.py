@@ -58,7 +58,16 @@ class InferenceEngine:
         max_seq_len: Optional[int] = None,
         cache_dtype=jnp.bfloat16,
         prefill_buckets: Sequence[int] = DEFAULT_BUCKETS,
+        kv_layout: str = "slot",
+        page_size: int = 64,
+        num_pages: Optional[int] = None,
     ):
+        """kv_layout: "slot" = slot-contiguous [B, Smax] KV (small-batch
+        fast path); "paged" = shared page pool + per-slot page tables
+        (north-star layout: many concurrent mixed-length sequences
+        without B*Smax worst-case HBM). num_pages defaults to the
+        slot-equivalent capacity; size it smaller to oversubscribe
+        (admission then backpressures on free pages)."""
         self.cfg = cfg
         # zero-pad quantized k-groups to multiples of 32 so every matmul
         # (notably w_out, k=11008 -> 344 groups at 7B) gets the widest
@@ -79,7 +88,25 @@ class InferenceEngine:
         if not self.buckets or self.buckets[-1] < self.max_seq_len:
             self.buckets = tuple(sorted({*self.buckets, self.max_seq_len}))
         self.stats = RuntimeStats()
-        self.cache = init_kv_cache(cfg, max_batch, self.max_seq_len, cache_dtype)
+        self.kv_layout = kv_layout
+        self.page_size = page_size
+        self.allocator = None
+        if kv_layout == "paged":
+            from ..models.paged_cache import PageAllocator, init_paged_kv_cache
+
+            pages_per_slot = -(-self.max_seq_len // page_size)
+            if num_pages is None:
+                num_pages = max_batch * pages_per_slot + 1  # +1: null page
+            self.num_pages = num_pages
+            self.allocator = PageAllocator(num_pages)
+            self._table_np = np.zeros((max_batch, pages_per_slot), np.int32)
+            self._slot_pages = {s: [] for s in range(max_batch)}
+            self.cache = init_paged_kv_cache(
+                cfg, max_batch, num_pages, page_size,
+                max_pages_per_slot=pages_per_slot, dtype=cache_dtype,
+            )
+        else:
+            self.cache = init_kv_cache(cfg, max_batch, self.max_seq_len, cache_dtype)
 
         # --- jitted programs -------------------------------------------------
         cfg_static = cfg
@@ -171,13 +198,52 @@ class InferenceEngine:
             )
 
         @partial(jax.jit, donate_argnames=("cache",))
+        def _prefill_slot_paged(params, tokens, seq_len, cache, slot, append=False):
+            """Paged admission prefill: the pools are shared, but writes
+            only touch the slot's own pages (via its page-table row), so
+            other slots' KV state is untouched by construction."""
+            from ..models.paged_cache import PagedKVCache
+
+            start = jnp.where(
+                jnp.asarray(append),
+                jax.lax.dynamic_slice_in_dim(cache.lengths, slot, 1, axis=0),
+                jnp.zeros((1,), jnp.int32),
+            )
+            sub = PagedKVCache(
+                k_pages=cache.k_pages,
+                v_pages=cache.v_pages,
+                page_table=jax.lax.dynamic_slice_in_dim(
+                    cache.page_table, slot, 1, axis=0
+                ),
+                lengths=start,
+                k_scale=cache.k_scale,
+                v_scale=cache.v_scale,
+            )
+            logits, sub = forward(
+                params, cfg_static, tokens, sub,
+                seq_lens=seq_len[None], last_only=True,
+            )
+            return logits, PagedKVCache(
+                k_pages=sub.k_pages,
+                v_pages=sub.v_pages,
+                page_table=cache.page_table,
+                lengths=jax.lax.dynamic_update_slice_in_dim(
+                    cache.lengths, sub.lengths, slot, axis=0
+                ),
+                k_scale=sub.k_scale,
+                v_scale=sub.v_scale,
+            )
+
+        @partial(jax.jit, donate_argnames=("cache",))
         def _reset_lengths(cache, keep_mask):
             import dataclasses as _dc
 
             return _dc.replace(cache, lengths=jnp.where(keep_mask, cache.lengths, 0))
 
         self._prefill = _prefill
-        self._prefill_slot = _prefill_slot
+        self._prefill_slot = (
+            _prefill_slot_paged if kv_layout == "paged" else _prefill_slot
+        )
         self._decode_sample = _decode_sample
         self._reset_lengths = _reset_lengths
         self._sample_logits = jax.jit(
@@ -219,25 +285,75 @@ class InferenceEngine:
         else:
             keep[list(slots)] = False
         self.cache = self._reset_lengths(self.cache, jnp.asarray(keep))
+        if self.allocator is not None:
+            for s in np.nonzero(~keep)[0]:
+                self.free_slot_pages(int(s))
+
+    # ----------------------------------------------------- paged-KV plumbing
+    def pages_needed(self, slot: int, total_tokens: int) -> int:
+        """Additional pages slot needs to hold total_tokens."""
+        want = -(-total_tokens // self.page_size)
+        return max(0, want - len(self._slot_pages[slot]))
+
+    def assign_pages(self, slot: int, n_new: int) -> None:
+        """Allocate n_new pages to slot and push the updated page table
+        to the device (raises MemoryError when the pool is exhausted —
+        the scheduler uses can_alloc for admission backpressure)."""
+        if n_new <= 0:
+            return
+        pages = self.allocator.alloc(n_new)
+        self._slot_pages[slot].extend(pages)
+        row = self._slot_pages[slot]
+        self._table_np[slot, :] = 0
+        self._table_np[slot, : len(row)] = row
+        import dataclasses as _dc
+
+        self.cache = _dc.replace(
+            self.cache, page_table=jnp.asarray(self._table_np)
+        )
+
+    def free_slot_pages(self, slot: int) -> None:
+        pages = self._slot_pages.get(slot)
+        if not pages:
+            return
+        self.allocator.free(pages)
+        self._slot_pages[slot] = []
+        self._table_np[slot, :] = 0
+        import dataclasses as _dc
+
+        self.cache = _dc.replace(
+            self.cache, page_table=jnp.asarray(self._table_np)
+        )
 
     # ------------------------------------------------------------- prefill/gen
-    def prefill(self, prompts: List[List[int]], reset: bool = True):
+    def prefill(
+        self,
+        prompts: List[List[int]],
+        reset: bool = True,
+        reserve_tokens: int = 64,
+    ):
         """Prefill the batch. reset=True clears slot lengths first;
         reset=False appends to the existing KV state (multi-turn chat).
 
+        reserve_tokens: paged mode allocates pages for prompt +
+        reserve_tokens up front (generate_stream passes max_new_tokens).
         Returns last-token logits [B, V] (fp32, device array).
         """
         B = self.max_batch
         assert len(prompts) <= B, (len(prompts), B)
         lens = [len(p) for p in prompts]
         bucket = self.bucket_for(max(lens))
+        if reset:
+            self.reset(range(len(prompts)))
+        if self.allocator is not None:
+            for i, p in enumerate(prompts):
+                total = int(self.cache.lengths[i]) + len(p) + reserve_tokens + 1
+                self.assign_pages(i, self.pages_needed(i, min(total, self.max_seq_len)))
         toks = np.zeros((B, bucket), np.int32)
         seq_lens = np.zeros((B,), np.int32)
         for i, p in enumerate(prompts):
             toks[i, : len(p)] = p
             seq_lens[i] = len(p)
-        if reset:
-            self.reset(range(len(prompts)))
         t0 = time.perf_counter()
         logits, self.cache = self._prefill(
             self.params, jnp.asarray(toks), jnp.asarray(seq_lens), self.cache
@@ -258,7 +374,9 @@ class InferenceEngine:
         0..len(prompts)-1 keep their state frozen."""
         B = self.max_batch
         n = len(prompts)
-        logits = self.prefill(prompts, reset=reset)
+        logits = self.prefill(
+            prompts, reset=reset, reserve_tokens=gen.max_new_tokens
+        )
 
         # per-slot uint32 seeds derived from gen.seed (deterministic when
         # set, distinct per slot so batched rows never share a key stream)

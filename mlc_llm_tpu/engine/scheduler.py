@@ -115,6 +115,8 @@ class ContinuousBatchingScheduler:
 
     def release_slot(self, slot: int) -> None:
         self._reserved.discard(slot)
+        if self.engine.allocator is not None and slot not in self.active:
+            self.engine.free_slot_pages(slot)
 
     def cancel(self, req: Request) -> None:
         """Stop a request (client stopped consuming, e.g. stop-string
@@ -162,11 +164,18 @@ class ContinuousBatchingScheduler:
             else:
                 deferred.append(req)
                 break
-            self._admit_one(req, slot)
+            if not self._admit_one(req, slot):
+                # paged-KV backpressure: not enough free pages yet
+                deferred.append(req)
+                if req.pin_slot is None:
+                    free.appendleft(slot)
+                break
         deferred.extend(self.pending)
         self.pending = deque(deferred)
 
-    def _admit_one(self, req: Request, slot: int) -> None:
+    def _admit_one(self, req: Request, slot: int) -> bool:
+        """Admit req into slot. Returns False (no side effects beyond
+        prompt clamping) when the paged-KV pool lacks pages."""
         eng = self.engine
         if req.append:
             req.start_len = int(np.asarray(eng.cache.lengths)[slot])
@@ -177,6 +186,17 @@ class ContinuousBatchingScheduler:
             # prompt when max_new_tokens >= max_seq_len - 1)
             keep = max(1, limit - req.gen.max_new_tokens - 1)
             req.prompt = req.prompt[-keep:]
+        if eng.allocator is not None:
+            if not req.append:
+                eng.free_slot_pages(slot)  # recycle a previous tenant's pages
+            total = min(
+                req.start_len + len(req.prompt) + req.gen.max_new_tokens + 1,
+                eng.max_seq_len,
+            )
+            need = eng.pages_needed(slot, total)
+            if not eng.allocator.can_alloc(need):
+                return False
+            eng.assign_pages(slot, need)
         bucket = eng.bucket_for(len(req.prompt))
         toks = np.zeros((1, bucket), np.int32)
         toks[0, : len(req.prompt)] = req.prompt
@@ -201,6 +221,7 @@ class ContinuousBatchingScheduler:
         req.slot = slot
         self.active[slot] = req
         self._first_token[slot] = first  # device array [1]
+        return True
 
     def _decode_dispatch(self) -> None:
         eng = self.engine
@@ -301,6 +322,13 @@ class ContinuousBatchingScheduler:
         req.finished_at = time.perf_counter()
         if req.slot is not None and self.active.get(req.slot) is req:
             del self.active[req.slot]
+            # reserved (session) slots keep their pages for the next
+            # turn's append-prefill; transient slots recycle immediately
+            if (
+                self.engine.allocator is not None
+                and req.slot not in self._reserved
+            ):
+                self.engine.free_slot_pages(req.slot)
 
     def _drain(self, all_remaining: bool = False) -> None:
         """Read back one (or all) pending decode results. Tokens are

@@ -147,6 +147,38 @@ def _quantize_kv_t(x: Array):
 WEIGHT_KEYS = ("wqkv", "wo", "w_in", "w_out")
 
 
+def _layer_tail(h, attn_out, h_mlp_in, lp, weights, l, cfg: ModelConfig):
+    """Residual + MLP tail shared by the slot-contiguous and paged
+    attention paths. h_mlp_in is the pre-computed parallel-residual MLP
+    input (None for sequential residual)."""
+    if h_mlp_in is None:
+        h = h + attn_out
+        h_mlp_in = _norm(h, lp["ln2_w"], lp.get("ln2_b"), cfg)
+
+    if cfg.act == "silu_gated":
+        gate_up = qmatmul_stacked(h_mlp_in, weights["w_in"], l, lp.get("b_in"))
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+        mid = jax.nn.silu(gate) * up
+    else:
+        mid = activate(
+            qmatmul_stacked(h_mlp_in, weights["w_in"], l, lp.get("b_in")), cfg.act
+        )
+    mlp_out = qmatmul_stacked(mid, weights["w_out"], l, lp.get("b_out"))
+
+    if cfg.parallel_residual or cfg.single_norm:
+        h = h + attn_out + mlp_out
+    else:
+        h = h + mlp_out
+    if h.dtype == jnp.float16:
+        # fp16 activation clamp to +-55504, the reference's fp16-safety
+        # margin under float16's 65504 max (defined for all gpt_neox
+        # graphs, /root/reference/mlc_llm/relax_model/gpt_neox.py:120-131;
+        # applied here at every layer boundary so f16 presets don't
+        # overflow where the reference's wouldn't)
+        h = jnp.clip(h, jnp.float16(-55504.0), jnp.float16(55504.0))
+    return h
+
+
 def _layer(
     h: Array,
     lp: Params,
@@ -162,10 +194,12 @@ def _layer(
     positions: Array,
     start: Array,
     attn_window: Optional[int] = None,
+    page_table: Optional[Array] = None,
 ):
     B, S, H = h.shape
     nh, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
+    h_mlp_in = None  # parallel-residual MLP input (None => sequential)
     if cfg.single_norm:
         hin = _norm(h, lp["ln1_w"], lp.get("ln1_b"), cfg)
         h_attn_in = h_mlp_in = hin
@@ -188,6 +222,46 @@ def _layer(
     # back for attention (the slice fuses into the attention dot)
     k_bhsd = k.transpose(0, 2, 1, 3)
     v_bhds = v.transpose(0, 2, 3, 1)
+
+    if page_table is not None:
+        # paged path: scatter-write the new tokens into this slot's
+        # pages, gather the windowed pages back for attention
+        from .paged_cache import (
+            gather_pages_k,
+            gather_pages_scale,
+            gather_pages_v,
+            write_scales_paged,
+            write_tokens_paged_k,
+            write_tokens_paged_v,
+        )
+
+        ps = ck.shape[3]
+        maxp = page_table.shape[1]
+        if attn_window is not None:
+            maxp = min(maxp, -(-attn_window // ps))
+        if ck.dtype == jnp.int8:
+            kq, ks = _quantize_kv(k_bhsd)
+            vq, vs = _quantize_kv_t(v_bhds)
+            ck = write_tokens_paged_k(ck, kq, l, page_table, start)
+            cv = write_tokens_paged_v(cv, vq, l, page_table, start)
+            cks = write_scales_paged(cks, ks, l, page_table, start)
+            cvs = write_scales_paged(cvs, vs, l, page_table, start)
+            kc = gather_pages_k(ck, l, page_table, maxp)
+            vc = gather_pages_v(cv, l, page_table, maxp)
+            ksc = gather_pages_scale(cks, l, page_table, maxp)
+            vsc = gather_pages_scale(cvs, l, page_table, maxp)
+        else:
+            ck = write_tokens_paged_k(ck, k_bhsd, l, page_table, start)
+            cv = write_tokens_paged_v(cv, v_bhds, l, page_table, start)
+            kc = gather_pages_k(ck, l, page_table, maxp)
+            vc = gather_pages_v(cv, l, page_table, maxp)
+            ksc = vsc = None
+        attn = attend_cache(q.transpose(0, 2, 1, 3), kc, vc, ksc, vsc, start)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nh * d)
+        attn_out = qmatmul_stacked(attn, weights["wo"], l, lp.get("bo"))
+        h = _layer_tail(h, attn_out, h_mlp_in, lp, weights, l, cfg)
+        return h, ck, cv, cks, cvs
+
     B_, H_, D_ = k_bhsd.shape[0], k_bhsd.shape[1], k_bhsd.shape[3]
     W = attn_window or ck.shape[3]
 
@@ -226,33 +300,7 @@ def _layer(
     attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nh * d)
     attn_out = qmatmul_stacked(attn, weights["wo"], l, lp.get("bo"))
 
-    if cfg.parallel_residual or cfg.single_norm:
-        pass  # mlp reads its own norm of the ORIGINAL h
-    else:
-        h = h + attn_out
-        h_mlp_in = _norm(h, lp["ln2_w"], lp.get("ln2_b"), cfg)
-
-    if cfg.act == "silu_gated":
-        gate_up = qmatmul_stacked(h_mlp_in, weights["w_in"], l, lp.get("b_in"))
-        gate, up = jnp.split(gate_up, 2, axis=-1)
-        mid = jax.nn.silu(gate) * up
-    else:
-        mid = activate(
-            qmatmul_stacked(h_mlp_in, weights["w_in"], l, lp.get("b_in")), cfg.act
-        )
-    mlp_out = qmatmul_stacked(mid, weights["w_out"], l, lp.get("b_out"))
-
-    if cfg.parallel_residual or cfg.single_norm:
-        h = h + attn_out + mlp_out
-    else:
-        h = h + mlp_out
-    if h.dtype == jnp.float16:
-        # fp16 activation clamp to +-55504, the reference's fp16-safety
-        # margin under float16's 65504 max (defined for all gpt_neox
-        # graphs, /root/reference/mlc_llm/relax_model/gpt_neox.py:120-131;
-        # applied here at every layer boundary so f16 presets don't
-        # overflow where the reference's wouldn't)
-        h = jnp.clip(h, jnp.float16(-55504.0), jnp.float16(55504.0))
+    h = _layer_tail(h, attn_out, h_mlp_in, lp, weights, l, cfg)
     return h, ck, cv, cks, cvs
 
 
@@ -281,6 +329,9 @@ def forward(
     LAST REAL token — else [B, S, V]; new cache with lengths advanced
     by seq_lens).
     """
+    from .paged_cache import PagedKVCache
+
+    paged = isinstance(cache, PagedKVCache)
     B, S = tokens.shape
     if seq_lens is None:
         seq_lens = jnp.full((B,), S, jnp.int32)
@@ -297,12 +348,14 @@ def forward(
 
     rot_cos, rot_sin = params["rotary"]["cos"], params["rotary"]["sin"]
 
+    page_table = cache.page_table if paged else None
+
     def body(carry, xs):
         hh, ck, cv, cks, cvs = carry
         lp, l = xs
         hh, ck, cv, cks, cvs = _layer(
             hh, lp, weights, ck, cv, cks, cvs, l, cfg, rot_cos, rot_sin,
-            positions, start, attn_window,
+            positions, start, attn_window, page_table,
         )
         return (hh, ck, cv, cks, cvs), None
 
@@ -311,9 +364,12 @@ def forward(
     # ride xs, weights are indexed in place by the stacked kernels
     weights = {k: v for k, v in params["layers"].items() if k in WEIGHT_KEYS}
     small = {k: v for k, v in params["layers"].items() if k not in WEIGHT_KEYS}
+    kv0 = (
+        (cache.k_pages, cache.v_pages) if paged else (cache.k, cache.v)
+    )
     (h, k_new, v_new, ks_new, vs_new), _ = jax.lax.scan(
         body,
-        (h, cache.k, cache.v, cache.k_scale, cache.v_scale),
+        (h, kv0[0], kv0[1], cache.k_scale, cache.v_scale),
         (small, jnp.arange(cfg.num_layers, dtype=jnp.int32)),
     )
 
@@ -331,10 +387,17 @@ def forward(
     if last_only:
         logits = logits[:, 0, :]
 
-    new_cache = KVCache(
-        k=k_new, v=v_new, lengths=cache.lengths + seq_lens,
-        k_scale=ks_new, v_scale=vs_new,
-    )
+    if paged:
+        new_cache = PagedKVCache(
+            k_pages=k_new, v_pages=v_new, page_table=cache.page_table,
+            lengths=cache.lengths + seq_lens,
+            k_scale=ks_new, v_scale=vs_new,
+        )
+    else:
+        new_cache = KVCache(
+            k=k_new, v=v_new, lengths=cache.lengths + seq_lens,
+            k_scale=ks_new, v_scale=vs_new,
+        )
     return logits, new_cache
 
 
