@@ -254,6 +254,126 @@ def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, spec: QuantSpec,
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+def _kernel_stacked_generic(l_ref, x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref,
+                            *, spec: QuantSpec, wpg: int, k_steps: int,
+                            out_dtype):
+    """Stacked variant of the generic plane kernel (int3 / u16 / fp4 /
+    i8): layer l_ref[0]'s blocks are DMA'd straight from the [L, KW, N]
+    resting buffers via scalar-prefetch index maps, extending the
+    no-per-layer-copy trick beyond int4/u32 (round-1 VERDICT gap: q3f16
+    decode was paying a dynamic_index weight copy per layer per step).
+    """
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    cdtype = x_ref.dtype
+    scale = s_ref[0].astype(cdtype)
+    scale_e = _row_repeat(scale, wpg)
+
+    acc = acc_ref[:]
+    if spec.storage == "i8":
+        w = w_ref[0].astype(cdtype) * scale_e
+        acc += jax.lax.dot_general(
+            x_ref[0], w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        epw = spec.elems_per_word
+        mask = jnp.uint32((1 << spec.nbit) - 1)
+        w32 = w_ref[0].astype(jnp.uint32)
+        for i in range(epw):
+            nib = (w32 >> (i * spec.nbit)) & mask
+            wv = _nib_value(nib, spec.mode, cdtype) * scale_e
+            acc += jax.lax.dot_general(
+                x_ref[i], wv, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        if spec.mode != "fp4":
+            if spec.sym:
+                off_e = scale_e * (-spec.max_int)
+            else:
+                off_e = _row_repeat(z_ref[0].astype(cdtype), wpg)
+            xs = jnp.sum(x_ref[:], axis=0)
+            acc += jax.lax.dot_general(
+                xs, off_e, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    acc_ref[:] = acc
+
+    @pl.when(k_idx == k_steps - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "shape", "out_dtype", "interpret")
+)
+def _dequant_matmul_stacked_generic_2d(
+    x: Array,
+    layer: Array,         # [1] int32
+    data: Array,          # [L, KW, N]
+    scale: Array,         # [L, G, N]
+    zero: Optional[Array],
+    *,
+    spec: QuantSpec,
+    shape,
+    out_dtype,
+    interpret: bool,
+) -> Array:
+    k, n = shape
+    m = x.shape[0]
+    _, kw, n_stored = data.shape
+
+    if spec.storage == "i8":
+        epw, wpg = 1, spec.group_size
+    else:
+        epw = spec.elems_per_word
+        wpg = -(-spec.group_size // epw)
+    k_stored = kw * epw
+    if x.shape[1] != k_stored:
+        x = jnp.pad(x, ((0, 0), (0, k_stored - x.shape[1])))
+
+    bm, bkw, bn = _pick_blocks(m, kw, n_stored, wpg)
+    x_t = x.reshape(m, kw, epw).transpose(2, 0, 1)
+    m_pad = -(-m // bm) * bm
+    if m_pad != m:
+        x_t = jnp.pad(x_t, ((0, 0), (0, m_pad - m), (0, 0)))
+    k_steps = kw // bkw
+    bkg = bkw // wpg
+    if zero is None:
+        zero = scale
+
+    kernel = functools.partial(
+        _kernel_stacked_generic, spec=spec, wpg=wpg, k_steps=k_steps,
+        out_dtype=out_dtype,
+    )
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m_pad // bm, n_stored // bn, k_steps),
+        in_specs=[
+            pl.BlockSpec((epw, bm, bkw), lambda i, j, kk, l: (0, i, kk)),
+            pl.BlockSpec((1, bkw, bn), lambda i, j, kk, l: (l[0], kk, j)),
+            pl.BlockSpec((1, bkg, bn), lambda i, j, kk, l: (l[0], kk, j)),
+            pl.BlockSpec((1, bkg, bn), lambda i, j, kk, l: (l[0], kk, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk, l: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_stored), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(layer, x_t, data, scale, zero)
+    return out[:m, :n]
+
+
 @functools.partial(
     jax.jit, static_argnames=("spec", "shape", "out_dtype", "interpret")
 )
@@ -706,7 +826,9 @@ def _kernel_pairs_stacked(l_ref, xlo_ref, xhi_ref, w_ref, s_ref, z_ref, o_ref,
 
 
 def dequant_matmul_stacked_supported(spec: QuantSpec) -> bool:
-    return spec.mode == "int4" and spec.storage == "u32"
+    # int4/u32 rides the pairs/gp kernels; everything word-packed or i8
+    # (int3, u16, fp4, int8) rides the generic stacked plane kernel
+    return spec.storage in ("u32", "u16", "i8")
 
 
 @functools.partial(
@@ -790,16 +912,23 @@ def dequant_matmul_stacked(
         m *= d
     x2 = x.reshape(m, x.shape[-1])
     interpret = jax.default_backend() == "cpu"
+    lidx = jnp.asarray(layer, jnp.int32).reshape(1)
     if gp_matmul_supported(w.spec, w.scale.shape[1], m):
         y = _dequant_matmul_gp_stacked_2d(
-            x2, jnp.asarray(layer, jnp.int32).reshape(1), w.data, w.scale,
-            w.zero, spec=w.spec, shape=w.shape, out_dtype=out_dtype,
+            x2, lidx, w.data, w.scale, w.zero,
+            spec=w.spec, shape=w.shape, out_dtype=out_dtype,
+            interpret=interpret,
+        )
+    elif w.spec.mode == "int4" and w.spec.storage == "u32":
+        y = _dequant_matmul_stacked_2d(
+            x2, lidx, w.data, w.scale, w.zero,
+            spec=w.spec, shape=w.shape, out_dtype=out_dtype,
             interpret=interpret,
         )
     else:
-        y = _dequant_matmul_stacked_2d(
-            x2, jnp.asarray(layer, jnp.int32).reshape(1), w.data, w.scale,
-            w.zero, spec=w.spec, shape=w.shape, out_dtype=out_dtype,
+        y = _dequant_matmul_stacked_generic_2d(
+            x2, lidx, w.data, w.scale, w.zero,
+            spec=w.spec, shape=w.shape, out_dtype=out_dtype,
             interpret=interpret,
         )
     return y.reshape(*lead, w.shape[1])
