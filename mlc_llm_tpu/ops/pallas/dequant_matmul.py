@@ -254,6 +254,213 @@ def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, spec: QuantSpec,
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+# --------------------------------------------------------------------------
+# gp3: group-partial kernel for int3 / u16 storage (the reference's
+# --quantization-storage-nbit 16 int3 format, build.py:19-25).
+#
+# u16 words hold 5 codes in 15 bits, so no field straddles a halfword;
+# a free sublane bitcast merges u16 row pairs into u32 words whose two
+# halfwords are k-adjacent u16 rows. Each of the 5 field positions then
+# bit-assembles EXACT bf16 values (8 + q: bits 0x4100 | q<<4 — ulp at
+# 2^3 is 2^-4, so all 8 codes are exact; the +8 folds into the group
+# offset together with sym's -max_int). Group scales apply to [Cg, BN]
+# partials as in the gp kernel. ~1.6 u32 VPU ops per element, no cast.
+
+
+def gp3_matmul_supported(spec: QuantSpec, n_groups: int, m: int) -> bool:
+    return (
+        spec.mode == "int3"
+        and spec.storage == "u16"
+        and spec.group_size == 40
+        and spec.sym
+        and m <= 2
+        and n_groups % 16 == 0
+    )
+
+
+def _merge_u16(w16: Array, interpret: bool) -> Array:
+    """u16 [2R, N] -> u32 [R, N]; low halfword = even row."""
+    if interpret:
+        r, n = w16.shape
+        a = w16.astype(jnp.uint32).reshape(r // 2, 2, n)
+        return a[:, 0] | (a[:, 1] << 16)
+    return pltpu.bitcast(w16, jnp.uint32)
+
+
+def _split_bf16(bits32: Array, interpret: bool) -> Array:
+    """u32 [R, N] -> bf16 [2R, N]; row 2r = low halfword of word r."""
+    if interpret:
+        r, n = bits32.shape
+        lo = (bits32 & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+        hi = (bits32 >> 16).astype(jnp.uint16)
+        st = jnp.stack([lo, hi], axis=1).reshape(2 * r, n)
+        return jax.lax.bitcast_convert_type(st, jnp.bfloat16)
+    return pltpu.bitcast(bits32, jnp.bfloat16)
+
+
+def _prep_gp3_planes(x: Array, ngroups: int):
+    """x [M, K] -> xp [5, M, K/5] per-field plane activations.
+
+    After the u16->u32 merge, u32 row R covers k = 10R..10R+9 with
+    halfword j = u16 row 2R+j; field i of halfword j is k = 10R+5j+i.
+    bf16 plane i row p = 2R+j <-> k = 10R+5j+i; group g owns plane rows
+    [8g, 8g+8)."""
+    M = x.shape[0]
+    K = ngroups * 40
+    if x.shape[1] != K:
+        x = jnp.pad(x, ((0, 0), (0, K - x.shape[1])))
+    # [M, R, j, i] with k = 10R + 5j + i
+    x4 = x.reshape(M, K // 10, 2, 5)
+    return x4.transpose(3, 0, 1, 2).reshape(5, M, K // 5)
+
+
+def _gp3_body(xp, w16, s2d, acc, *, max_int: int, Cg: int, cpt: int,
+              M: int, interpret: bool):
+    """xp: [5, M, BKW16/...] plane activations (banded in-kernel);
+    w16: [BKW16, BN] u16; s2d: [Gt, BN]; acc [Cg*M, BN] f32."""
+    dn = (((1,), (0,)), ((), ()))
+    rpc = Cg * M
+    cols = 8 * Cg
+    band = _band_mask(Cg, 8, xp.dtype)  # [Cg, 8Cg]
+    w32 = _merge_u16(w16, interpret)  # [BKW16/2, BN]
+    wrpc = 4 * Cg  # u32 rows per chunk
+    for c in range(cpt):
+        wc = w32[c * wrpc:(c + 1) * wrpc, :]
+        sc = s2d[c * Cg:(c + 1) * Cg, :].astype(jnp.float32)
+        if M > 1:
+            sc = _row_repeat(sc, M)
+        psum = jnp.zeros((rpc, wc.shape[1]), jnp.float32)
+        sx = jnp.zeros((rpc, 1), jnp.float32)
+        for i in range(5):
+            if i == 0:
+                t = (wc << 4) & jnp.uint32(0x00700070)
+            elif i == 1:
+                t = (wc << 1) & jnp.uint32(0x00700070)
+            else:
+                t = (wc >> (3 * i - 4)) & jnp.uint32(0x00700070)
+            plane = _split_bf16(t | jnp.uint32(0x41004100), interpret)
+            xs = xp[i, :, c * cols:(c + 1) * cols]  # [M, 8Cg]
+            xi = (band[:, None, :] * xs[None, :, :]).reshape(rpc, cols)
+            psum += jax.lax.dot_general(
+                xi, plane, dn, preferred_element_type=jnp.float32
+            )
+            sx += jnp.sum(xi, axis=1, keepdims=True).astype(jnp.float32)
+        # assembled value = 8 + q; sym int3 value = q - max_int
+        acc = acc + sc * (psum - float(8 + max_int) * sx)
+    return acc
+
+
+def _kernel_gp3(xd_ref, w_ref, s_ref, o_ref, acc_ref, *, max_int: int,
+                Cg: int, cpt: int, M: int, k_steps: int, out_dtype,
+                interpret: bool):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] = _gp3_body(
+        xd_ref[:], w_ref[:], s_ref[:], acc_ref[:],
+        max_int=max_int, Cg=Cg, cpt=cpt, M=M, interpret=interpret,
+    )
+
+    @pl.when(kk == k_steps - 1)
+    def _():
+        a = acc_ref[:]
+        o_ref[:] = jnp.sum(a.reshape(Cg, M, a.shape[-1]), axis=0).astype(out_dtype)
+
+
+def _kernel_gp3_stacked(l_ref, xd_ref, w_ref, s_ref, o_ref, acc_ref, *,
+                        max_int: int, Cg: int, cpt: int, M: int, k_steps: int,
+                        out_dtype, interpret: bool):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] = _gp3_body(
+        xd_ref[:], w_ref[0], s_ref[0], acc_ref[:],
+        max_int=max_int, Cg=Cg, cpt=cpt, M=M, interpret=interpret,
+    )
+
+    @pl.when(kk == k_steps - 1)
+    def _():
+        a = acc_ref[:]
+        o_ref[:] = jnp.sum(a.reshape(Cg, M, a.shape[-1]), axis=0).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "shape", "out_dtype", "interpret", "stacked")
+)
+def _dequant_matmul_gp3_2d(
+    x: Array,
+    layer: Optional[Array],
+    data: Array,
+    scale: Array,
+    *,
+    spec: QuantSpec,
+    shape,
+    out_dtype,
+    interpret: bool,
+    stacked: bool,
+) -> Array:
+    k, n = shape
+    m = x.shape[0]
+    kw16, n_stored = data.shape[-2], data.shape[-1]
+    G = scale.shape[-2]
+    Cg = 16
+    cptotal = G // Cg
+
+    bn = _largest_divisor(n_stored, (512, 384, 256, 128)) or 128
+    xp = _prep_gp3_planes(x, G)
+
+    kernel_fn = _kernel_gp3_stacked if stacked else _kernel_gp3
+    kernel = functools.partial(
+        kernel_fn, max_int=spec.max_int, Cg=Cg, cpt=cptotal, M=m,
+        k_steps=1, out_dtype=out_dtype, interpret=interpret,
+    )
+    if stacked:
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1, n_stored // bn, 1),
+            in_specs=[
+                pl.BlockSpec((5, m, G * 8), lambda i, j, kk, l: (0, 0, 0)),
+                pl.BlockSpec((1, kw16, bn), lambda i, j, kk, l: (l[0], 0, j)),
+                pl.BlockSpec((1, G, bn), lambda i, j, kk, l: (l[0], 0, j)),
+            ],
+            out_specs=pl.BlockSpec((m, bn), lambda i, j, kk, l: (0, j)),
+            scratch_shapes=[pltpu.VMEM((Cg * m, bn), jnp.float32)],
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=gs,
+            out_shape=jax.ShapeDtypeStruct((m, n_stored), out_dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(layer, xp, data, scale)
+    else:
+        out = pl.pallas_call(
+            kernel,
+            grid=(1, n_stored // bn, 1),
+            in_specs=[
+                pl.BlockSpec((5, m, G * 8), lambda i, j, kk: (0, 0, 0)),
+                pl.BlockSpec((kw16, bn), lambda i, j, kk: (0, j)),
+                pl.BlockSpec((G, bn), lambda i, j, kk: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((m, bn), lambda i, j, kk: (0, j)),
+            out_shape=jax.ShapeDtypeStruct((m, n_stored), out_dtype),
+            scratch_shapes=[pltpu.VMEM((Cg * m, bn), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(xp, data, scale)
+    return out[:, :n]
+
+
 def _kernel_stacked_generic(l_ref, x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref,
                             *, spec: QuantSpec, wpg: int, k_steps: int,
                             out_dtype):
@@ -544,47 +751,37 @@ def gp_matmul_supported(spec: QuantSpec, n_groups: int, m: int) -> bool:
     )
 
 
-def _prep_pairs_diag(x: Array, kw: int, Cg: int, dtype):
-    """x [M, K] -> block-diagonal (xdl, xdh), each [NC*Cg*M, 16*Cg].
-
-    Plane row p = 4r+j <-> k = 8r+2j (lo) / 8r+2j+1 (hi); group g owns
-    plane rows [16g, 16g+16); chunk c = Cg consecutive groups. Chunk
-    rows are ordered (group-slot u, batch m) so [Cg*M, BN] partials
-    reshape to [Cg, M, BN]."""
-    M = x.shape[0]
-    xr = x.reshape(M, kw, 4, 2)
-    xlo = xr[..., 0].reshape(M, kw * 4)
-    xhi = xr[..., 1].reshape(M, kw * 4)
-    nc = (kw * 4) // (16 * Cg)
-    eye = jnp.eye(Cg, dtype=jnp.float32)
-
-    def diag(v):
-        v5 = v.astype(jnp.float32).reshape(M, nc, Cg, 16)
-        v5 = v5.transpose(1, 2, 0, 3)  # [NC, Cg_v, M, 16]
-        d = v5[:, None] * eye[None, :, :, None, None]
-        d = d.transpose(0, 1, 3, 2, 4)  # [NC, Cg_u, M, Cg_v, 16]
-        return d.reshape(nc * Cg * M, 16 * Cg).astype(dtype)
-
-    return diag(xlo), diag(xhi)
+def _band_mask(Cg: int, width: int, dtype):
+    """[Cg, Cg*width] 0/1 mask: row u keeps cols [u*width, (u+1)*width)."""
+    cols = Cg * width
+    iu = jax.lax.broadcasted_iota(jnp.int32, (Cg, cols), 0)
+    ic = jax.lax.broadcasted_iota(jnp.int32, (Cg, cols), 1)
+    return (ic // width == iu).astype(dtype)
 
 
-def _gp_body(xl_all, xh_all, w2d, s2d, z2d, acc, *, spec: QuantSpec, Cg: int,
+def _gp_body(xlo, xhi, w2d, s2d, z2d, acc, *, spec: QuantSpec, Cg: int,
              cpt: int, M: int, interpret: bool):
     """Shared chunk loop for the flat and stacked gp kernels.
 
-    xl_all/xh_all: [cpt*Cg*M, 16*Cg]; w2d: [BKW, BN] u32;
-    s2d/z2d: [Gt, BN]; acc: [Cg*M, BN] f32 (accumulated)."""
+    xlo/xhi: [M, 4*BKW] plane activations (lo = even k, hi = odd k);
+    the block-diagonal lhs chunks are banded IN-KERNEL (mask-multiply on
+    [Cg*M, 16Cg] — trivial VPU work; building them in XLA cost ~0.6 ms
+    per decode step at 7B across 128 kernel calls).
+    w2d: [BKW, BN] u32; s2d/z2d: [Gt, BN]; acc: [Cg*M, BN] f32."""
     dn = (((1,), (0,)), ((), ()))
     wpc = 4 * Cg
-    rpc = Cg * M
+    cols = 16 * Cg
+    band = _band_mask(Cg, 16, xlo.dtype)  # [Cg, 16Cg]
     for c in range(cpt):
         wc = w2d[c * wpc:(c + 1) * wpc, :]
         lo8, hi8 = _nibble_planes(wc, interpret)
         sc = s2d[c * Cg:(c + 1) * Cg, :].astype(jnp.float32)
         if M > 1:
             sc = _row_repeat(sc, M)
-        xl = xl_all[c * rpc:(c + 1) * rpc, :]
-        xh = xh_all[c * rpc:(c + 1) * rpc, :]
+        xsl = xlo[:, c * cols:(c + 1) * cols]  # [M, 16Cg]
+        xsh = xhi[:, c * cols:(c + 1) * cols]
+        xl = (band[:, None, :] * xsl[None, :, :]).reshape(Cg * M, cols)
+        xh = (band[:, None, :] * xsh[None, :, :]).reshape(Cg * M, cols)
         plo = jax.lax.dot_general(
             xl, lo8.astype(xl.dtype), dn, preferred_element_type=jnp.float32
         )
@@ -692,7 +889,9 @@ def _dequant_matmul_gp_2d(
     Gt = G // k_steps
     Cg = _gp_pick_cg(Gt, m)
     cpt = (4 * bkw) // (16 * Cg)
-    xdl, xdh = _prep_pairs_diag(x, kw, Cg, x.dtype)
+    xr = x.reshape(m, kw, 4, 2)
+    xlo = xr[..., 0].reshape(m, kw * 4)
+    xhi = xr[..., 1].reshape(m, kw * 4)
 
     if zero is None:
         zero = scale
@@ -704,8 +903,8 @@ def _dequant_matmul_gp_2d(
         kernel,
         grid=(1, n_stored // bn, k_steps),
         in_specs=[
-            pl.BlockSpec((cpt * Cg * m, 16 * Cg), lambda i, j, kk: (kk, 0)),
-            pl.BlockSpec((cpt * Cg * m, 16 * Cg), lambda i, j, kk: (kk, 0)),
+            pl.BlockSpec((m, 4 * bkw), lambda i, j, kk: (0, kk)),
+            pl.BlockSpec((m, 4 * bkw), lambda i, j, kk: (0, kk)),
             pl.BlockSpec((bkw, bn), lambda i, j, kk: (kk, j)),
             pl.BlockSpec((Gt, bn), lambda i, j, kk: (kk, j)),
             pl.BlockSpec((Gt, bn), lambda i, j, kk: (kk, j)),
@@ -723,7 +922,7 @@ def _dequant_matmul_gp_2d(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xdl, xdh, data, scale, zero)
+    )(xlo, xhi, data, scale, zero)
     return out[:, :n]
 
 
@@ -755,7 +954,9 @@ def _dequant_matmul_gp_stacked_2d(
     Gt = G // k_steps
     Cg = _gp_pick_cg(Gt, m)
     cpt = (4 * bkw) // (16 * Cg)
-    xdl, xdh = _prep_pairs_diag(x, kw, Cg, x.dtype)
+    xr = x.reshape(m, kw, 4, 2)
+    xlo = xr[..., 0].reshape(m, kw * 4)
+    xhi = xr[..., 1].reshape(m, kw * 4)
 
     if zero is None:
         zero = scale
@@ -767,8 +968,8 @@ def _dequant_matmul_gp_stacked_2d(
         num_scalar_prefetch=1,
         grid=(1, n_stored // bn, k_steps),
         in_specs=[
-            pl.BlockSpec((cpt * Cg * m, 16 * Cg), lambda i, j, kk, l: (kk, 0)),
-            pl.BlockSpec((cpt * Cg * m, 16 * Cg), lambda i, j, kk, l: (kk, 0)),
+            pl.BlockSpec((m, 4 * bkw), lambda i, j, kk, l: (0, kk)),
+            pl.BlockSpec((m, 4 * bkw), lambda i, j, kk, l: (0, kk)),
             pl.BlockSpec((1, bkw, bn), lambda i, j, kk, l: (l[0], kk, j)),
             pl.BlockSpec((1, Gt, bn), lambda i, j, kk, l: (l[0], kk, j)),
             pl.BlockSpec((1, Gt, bn), lambda i, j, kk, l: (l[0], kk, j)),
@@ -784,7 +985,7 @@ def _dequant_matmul_gp_stacked_2d(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(layer, xdl, xdh, data, scale, zero)
+    )(layer, xlo, xhi, data, scale, zero)
     return out[:, :n]
 
 
@@ -913,7 +1114,13 @@ def dequant_matmul_stacked(
     x2 = x.reshape(m, x.shape[-1])
     interpret = jax.default_backend() == "cpu"
     lidx = jnp.asarray(layer, jnp.int32).reshape(1)
-    if gp_matmul_supported(w.spec, w.scale.shape[1], m):
+    if gp3_matmul_supported(w.spec, w.scale.shape[1], m):
+        y = _dequant_matmul_gp3_2d(
+            x2, lidx, w.data, w.scale,
+            spec=w.spec, shape=w.shape, out_dtype=out_dtype,
+            interpret=interpret, stacked=True,
+        )
+    elif gp_matmul_supported(w.spec, w.scale.shape[1], m):
         y = _dequant_matmul_gp_stacked_2d(
             x2, lidx, w.data, w.scale, w.zero,
             spec=w.spec, shape=w.shape, out_dtype=out_dtype,
@@ -943,7 +1150,13 @@ def dequant_matmul(x: Array, w: QuantizedTensor, out_dtype=None) -> Array:
         m *= d
     x2 = x.reshape(m, x.shape[-1])
     interpret = jax.default_backend() == "cpu"
-    if gp_matmul_supported(w.spec, w.scale.shape[0], m):
+    if gp3_matmul_supported(w.spec, w.scale.shape[0], m):
+        y = _dequant_matmul_gp3_2d(
+            x2, None, w.data, w.scale,
+            spec=w.spec, shape=w.shape, out_dtype=out_dtype,
+            interpret=interpret, stacked=False,
+        )
+    elif gp_matmul_supported(w.spec, w.scale.shape[0], m):
         y = _dequant_matmul_gp_2d(
             x2, w.data, w.scale, w.zero,
             spec=w.spec, shape=w.shape, out_dtype=out_dtype,

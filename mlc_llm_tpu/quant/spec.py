@@ -98,6 +98,13 @@ QUANT_PRESETS = {
     "q4bf16_plane": QuantSpec("int4", 32, False, "u4", "bfloat16"),
     "q3f16": QuantSpec("int3", 40, True, "u32", "float16"),
     "q3bf16": QuantSpec("int3", 40, True, "u32", "bfloat16"),
+    # u16 storage (the reference's --quantization-storage-nbit 16 int3
+    # builds, e.g. iOS vicuna q3f16: 5 codes per u16, 15 bits, no field
+    # straddling a halfword) — the TPU fast-path storage for int3: the
+    # gp3 kernel merges u16 sublane pairs to u32 and bit-assembles exact
+    # bf16 code values
+    "q3f16_s16": QuantSpec("int3", 40, True, "u16", "float16"),
+    "q3bf16_s16": QuantSpec("int3", 40, True, "u16", "bfloat16"),
     "fp4f16": QuantSpec("fp4", 32, True, "u32", "float16"),
     "fp4bf16": QuantSpec("fp4", 32, True, "u32", "bfloat16"),
     "q8f16": QuantSpec("int8", 32, True, "i8", "float16"),

@@ -30,6 +30,10 @@ def _mk(k, n, seed=0):
         ("q4bf16_sym", 8),
         ("q4f32", 4),
         ("q3bf16", 8),        # int3, group 40, u32
+        ("q3bf16_s16", 1),    # int3, u16 storage -> gp3 bit-assembly path
+        ("q3bf16_s16", 2),
+        ("q3bf16_s16", 8),    # m>2 -> generic path
+        ("q3f16_s16", 1),
         ("fp4bf16", 8),
         ("q8bf16", 8),
         ("q4f16", 8),
@@ -37,7 +41,8 @@ def _mk(k, n, seed=0):
 )
 def test_dequant_matmul_matches_jnp(preset, m):
     spec = resolve_spec(preset)
-    k = 256 if spec.group_size != 40 else 240
+    # u16 int3 needs n_groups % 16 == 0 to engage the gp3 kernel
+    k = 256 if spec.group_size != 40 else (640 if spec.storage == "u16" else 240)
     n = 384
     w = _mk(k, n)
     qt = quantize(w, spec)
@@ -119,6 +124,8 @@ def test_3d_batch_input():
         ("q4bf16", 16),  # pairs path (m > gp bound)
         ("q3bf16", 1),   # generic stacked: int3 group 40
         ("q3bf16", 8),
+        ("q3bf16_s16", 1),  # gp3 stacked (u16 bit-assembly)
+        ("q3bf16_s16", 4),  # generic stacked u16
         ("fp4bf16", 2),  # generic stacked: fp4
         ("q8bf16", 2),   # generic stacked: i8
         ("q4f16", 1),
@@ -136,7 +143,7 @@ def test_stacked_kernel_matches_per_layer(preset, m):
 
     spec = resolve_spec(preset)
     L, n = 3, 384
-    k = 256 if spec.group_size != 40 else 240
+    k = 256 if spec.group_size != 40 else (640 if spec.storage == "u16" else 240)
     qts = [quantize(_mk(k, n, seed=10 + i), spec) for i in range(L)]
     stacked = QuantizedTensor(
         data=jnp.stack([q.data for q in qts]),
