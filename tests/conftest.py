@@ -14,9 +14,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_multi_thread_eigen" not in flags:
+    # deterministic CPU reductions: under machine load, Eigen's threaded
+    # GEMM can flip low-order bits between identical runs, which flips a
+    # near-tie sampled token and breaks the seed-reproducibility tests
+    # (observed as a rare test_seeded_sampling_deterministic flake).
+    # TPU execution is deterministic; this only pins the CPU test mesh.
+    flags = (flags + " --xla_cpu_multi_thread_eigen=false").strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
