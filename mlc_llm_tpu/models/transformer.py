@@ -239,6 +239,42 @@ def _layer(
         maxp = page_table.shape[1]
         if attn_window is not None:
             maxp = min(maxp, -(-attn_window // ps))
+
+        from ..ops import kernel_mode, sharded_params
+
+        use_flash = S == 1 and (
+            kernel_mode() == "pallas"
+            or (
+                kernel_mode() == "auto"
+                and jax.default_backend() != "cpu"
+                and not sharded_params()
+            )
+        )
+        if use_flash:
+            # decode: paged flash kernel reads pages in place (the jnp
+            # gather below materializes a copy of the window per layer)
+            from ..ops.pallas.paged_attention import paged_flash_decode
+
+            if ck.dtype == jnp.int8:
+                kq, ks = _quantize_kv(k_bhsd)
+                vq, vs = _quantize_kv_t(v_bhds)
+                ck = write_tokens_paged_k(ck, kq, l, page_table, start)
+                cv = write_tokens_paged_v(cv, vq, l, page_table, start)
+                cks = write_scales_paged(cks, ks, l, page_table, start)
+                cvs = write_scales_paged(cvs, vs, l, page_table, start)
+            else:
+                ck = write_tokens_paged_k(ck, k_bhsd, l, page_table, start)
+                cv = write_tokens_paged_v(cv, v_bhds, l, page_table, start)
+            attn = paged_flash_decode(
+                q.transpose(0, 2, 1, 3), ck, cv, cks, cvs,
+                page_table, start, l, num_pages_window=maxp,
+                interpret=jax.default_backend() == "cpu",
+            )
+            attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nh * d)
+            attn_out = qmatmul_stacked(attn, weights["wo"], l, lp.get("bo"))
+            h = _layer_tail(h, attn_out, h_mlp_in, lp, weights, l, cfg)
+            return h, ck, cv, cks, cvs
+
         if ck.dtype == jnp.int8:
             kq, ks = _quantize_kv(k_bhsd)
             vq, vs = _quantize_kv_t(v_bhds)

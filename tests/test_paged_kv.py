@@ -201,3 +201,78 @@ def test_paged_session_multiturn():
     assert isinstance(r1, str) and isinstance(r2, str)
     sess.close()
     assert len(eng._slot_pages[sess.slot]) == 0  # released
+
+
+def test_paged_flash_decode_kernel_matches_jnp(setup):
+    """Pallas paged flash-decode (interpret) vs the jnp gather path."""
+    import jax
+
+    from mlc_llm_tpu.ops.attention import attend_cache
+    from mlc_llm_tpu.ops.pallas.paged_attention import paged_flash_decode
+    from mlc_llm_tpu.models.paged_cache import (
+        gather_pages_k,
+        gather_pages_scale,
+        gather_pages_v,
+    )
+
+    cfg, params = setup
+    rng = np.random.default_rng(7)
+    B, Hq, D, ps = 2, cfg.num_heads, cfg.head_dim, 8
+    L, P = cfg.num_layers, 16
+
+    for dtype in (jnp.float32, jnp.int8):
+        if dtype == jnp.int8:
+            kp = jnp.asarray(rng.integers(-127, 127, (L, P, Hq, ps, D)), jnp.int8)
+            vp = jnp.asarray(rng.integers(-127, 127, (L, P, Hq, D, ps)), jnp.int8)
+            ks = jnp.asarray(rng.random((L, P, Hq, ps)) * 0.02 + 0.001, jnp.float32)
+            vs = jnp.asarray(rng.random((L, P, Hq, ps)) * 0.02 + 0.001, jnp.float32)
+        else:
+            kp = jnp.asarray(rng.standard_normal((L, P, Hq, ps, D)), jnp.float32)
+            vp = jnp.asarray(rng.standard_normal((L, P, Hq, D, ps)), jnp.float32)
+            ks = vs = None
+        table = jnp.asarray([[3, 5, 1, 9], [2, 8, 4, 0]], jnp.int32)
+        lengths = jnp.asarray([20, 9], jnp.int32)  # mid-page lengths
+        q = jnp.asarray(rng.standard_normal((B, Hq, 1, D)), jnp.float32)
+        l = jnp.int32(1)
+
+        got = paged_flash_decode(
+            q, kp, vp, ks, vs, table, lengths, l,
+            num_pages_window=4, interpret=True,
+        )
+
+        kc = gather_pages_k(kp, l, table, 4)
+        vc = gather_pages_v(vp, l, table, 4)
+        ksc = None if ks is None else gather_pages_scale(ks, l, table, 4)
+        vsc = None if vs is None else gather_pages_scale(vs, l, table, 4)
+        want = attend_cache(q, kc, vc, ksc, vsc, lengths)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=2e-2, rtol=2e-2,
+        )
+
+
+def test_paged_forward_flash_path_matches(setup):
+    """forward() with the forced paged flash kernel (interpret) must
+    match the jnp gather path at decode."""
+    from mlc_llm_tpu.ops import use_kernels
+
+    cfg, params = setup
+    toks = jnp.asarray([[1, 2, 3, 4, 5]], jnp.int32)
+    for dtype in (jnp.float32, jnp.int8):
+        paged = init_paged_kv_cache(cfg, batch=1, num_pages=16, page_size=8,
+                                    max_pages_per_slot=4, dtype=dtype)
+        alloc = PageAllocator(16)
+        paged = _with_pages(paged, alloc, [alloc.alloc(3)])
+        _, paged = forward(params, cfg, toks, paged, last_only=True)
+        nxt = jnp.asarray([[9]], jnp.int32)
+        with use_kernels("jnp"):
+            want, _ = forward(params, cfg, nxt, paged,
+                              seq_lens=jnp.asarray([1], jnp.int32),
+                              last_only=True)
+        with use_kernels("pallas"):
+            got, _ = forward(params, cfg, nxt, paged,
+                             seq_lens=jnp.asarray([1], jnp.int32),
+                             last_only=True)
+        tol = 2e-4 if dtype == jnp.float32 else 2e-2
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=tol, atol=tol)
