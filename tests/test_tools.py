@@ -121,3 +121,23 @@ def test_debug_dump_programs(tmp_path):
     # the stablehlo dump names the real module ops
     text = open(os.path.join(outdir, "prefill.stablehlo.txt")).read()
     assert "stablehlo" in text or "module" in text
+
+
+def test_q4_q3_ppl_delta_pinned():
+    """Regression pin for the BASELINE.md perplexity gate: q4 and q3
+    log-ppl deltas vs fp32 on a fixed token set stay under a bound
+    (measured ~0.01; pinned with 5x headroom). Zero-egress environment:
+    the same gate runs at dolly-v2-3b scale in scripts/ppl_scale.py
+    with seeded real-architecture weights (docs/PERF.md)."""
+    from mlc_llm_tpu.ppl import perplexity
+
+    cfg = get_config("tiny-llama")
+    toks = np.random.default_rng(1).integers(0, cfg.vocab_size, 200,
+                                             dtype=np.int32)
+    base = perplexity(init_random_params(cfg, "f32", seed=1), cfg, toks,
+                      window=64, stride=32, cache_dtype=jnp.float32)
+    for preset, bound in (("q4bf16", 0.05), ("q3bf16_s16", 0.06)):
+        q = perplexity(init_random_params(cfg, preset, seed=1), cfg, toks,
+                       window=64, stride=32)
+        delta = abs(np.log(q["perplexity"]) - np.log(base["perplexity"]))
+        assert delta < bound, (preset, q["perplexity"], base["perplexity"])
