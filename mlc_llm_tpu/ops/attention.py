@@ -84,29 +84,14 @@ def attend_cache(
     flash-decode Pallas kernel when forced; falls back to dense jnp
     attention with the no-relayout transposed-V einsum.
     """
-    from . import kernel_mode
-
-    B, Hq, Sq, D = q.shape
-    Smax = kc.shape[2]
-    mode = kernel_mode()
-    # NOTE: auto mode keeps the jnp path for now — with the [B,H,S,D]
-    # cache layout the kernel's HBM DMAs are 256-byte-contiguous and
-    # measure ~112 GB/s vs XLA's einsum; it wins only after the S-major
-    # cache layout refactor. "pallas" mode forces it (tests/benchmarks).
-    use_kernel = Sq == 1 and Hq == kc.shape[1] and mode == "pallas"
-    if use_kernel:
-        from .pallas.decode_attention import (
-            decode_attention,
-            decode_attention_supported,
-        )
-
-        use_kernel = decode_attention_supported(Smax, D)
-    if use_kernel:
-        # the kernel consumes the row-major V view
-        vc_sd = vc.transpose(0, 1, 3, 2)
-        out = decode_attention(q[:, :, 0, :], kc, vc_sd, q_pos + 1, ksc, vsc)
-        return out[:, :, None, :]
-
+    # Slot-contiguous decode stays on the XLA einsum: the windowed
+    # dynamic_slice fuses into the attention dots (both contractions hit
+    # minor dims with the D-major V cache), so XLA reads the KV bytes
+    # once at bandwidth — round 1's [B,H,S,D]-layout flash kernel made
+    # 256-byte DMAs (~112 GB/s), lost to this path, and was deleted.
+    # The PAGED cache decode, where the jnp gather would copy the whole
+    # window per layer, routes to the paged flash kernel instead
+    # (ops/pallas/paged_attention.py, models/transformer.py).
     if ksc is not None:
         k = (kc.astype(jnp.float32) * ksc[..., None]).astype(q.dtype)
         v = (vc.astype(jnp.float32) * vsc[:, :, None, :]).astype(q.dtype)
