@@ -45,9 +45,16 @@ def _bench_variant(qt, m: int, bkw: int, bn: int, steps=(16, 112)) -> float:
             return (y * 1e-3).astype(jnp.bfloat16)
         return jax.lax.fori_loop(0, n, body, x, unroll=False)
 
-    # monkey-patch the block picker for this measurement
+    # monkey-patch the block picker for this measurement; the jitted
+    # entry points cache by STATIC args (identical across the sweep), so
+    # stale executables must be evicted or every candidate would re-time
+    # the first one's compilation
     orig = dm._pick_blocks
+    orig_gp = dm._gp_blocks
     dm._pick_blocks = lambda *a, **kw: (orig(*a, **kw)[0], bkw, bn)
+    dm._gp_blocks = lambda m_, kw_, n_: (bkw, bn)
+    for fn in (dm._dequant_matmul_2d, dm._dequant_matmul_gp_2d):
+        fn.clear_cache()
     try:
         x0 = jnp.ones((m, k), jnp.bfloat16) * 0.01
         float(jnp.asarray(loop(x0, 2)).reshape(-1)[0])
@@ -59,6 +66,7 @@ def _bench_variant(qt, m: int, bkw: int, bn: int, steps=(16, 112)) -> float:
         return (ts[steps[1]] - ts[steps[0]]) / (steps[1] - steps[0])
     finally:
         dm._pick_blocks = orig
+        dm._gp_blocks = orig_gp
 
 
 def tune_shapes(shapes, quant="q4bf16", ms=(1,), verbose=True):
@@ -66,11 +74,16 @@ def tune_shapes(shapes, quant="q4bf16", ms=(1,), verbose=True):
     from .ops.pallas.dequant_matmul import _largest_divisor, _pick_blocks
     from .quant import quantize, resolve_spec
 
+    from .ops.pallas.dequant_matmul import gp_matmul_supported
+
     spec = resolve_spec(quant)
     rng = np.random.default_rng(0)
     table = {}
     for k, n in shapes:
         qt = quantize((rng.standard_normal((k, n)) * 0.05).astype(np.float32), spec)
+        from .quant.groupwise import pad_quantized_groups
+
+        qt = pad_quantized_groups(qt)  # engines pad at init; tune likewise
         kw = qt.data.shape[0]
         n_stored = qt.data.shape[1]
         wpg = -(-spec.group_size // spec.elems_per_word)
@@ -84,8 +97,16 @@ def tune_shapes(shapes, quant="q4bf16", ms=(1,), verbose=True):
                 cands.append((bkw, bn))
         cands = sorted(set(cands))
         for m in ms:
+            if gp_matmul_supported(spec, qt.scale.shape[0], m):
+                # gp kernel: full-k tiles, sweep bn only
+                mcands = [(kw, bn) for bn in (1024, 512, 384, 256)
+                          if n_stored % bn == 0]
+                key = f"gp:{m}:{kw}:{n_stored}"
+            else:
+                mcands = cands
+                key = f"{m}:{kw}:{n_stored}"
             best, best_t = None, float("inf")
-            for bkw, bn in cands:
+            for bkw, bn in mcands:
                 try:
                     t = _bench_variant(qt, m, bkw, bn)
                 except Exception as e:  # compile failure for this variant
@@ -99,7 +120,7 @@ def tune_shapes(shapes, quant="q4bf16", ms=(1,), verbose=True):
                 if t < best_t:
                     best, best_t = (bkw, bn), t
             if best:
-                table[f"{m}:{kw}:{n_stored}"] = list(best)
+                table[key] = list(best)
     return table
 
 
