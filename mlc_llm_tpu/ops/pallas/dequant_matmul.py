@@ -759,29 +759,53 @@ def _band_mask(Cg: int, width: int, dtype):
     return (ic // width == iu).astype(dtype)
 
 
+def _prep_pairs_diag(x: Array, kw: int, Cg: int, dtype):
+    """m=1 fast path: x [1, K] -> block-diagonal (xdl, xdh), each
+    [NC*Cg, 16*Cg], built in XLA (one cheap op chain per call). The
+    in-kernel band-multiply re-runs per n-tile and measured 27% slower
+    at m=1 (531 vs 673 GB/s same-process, scripts/kexp.py prod vs gp16);
+    m>1 keeps the in-kernel band (the m-fold diag would be large)."""
+    xr = x.reshape(kw, 4, 2)
+    xlo = xr[..., 0].reshape(kw * 4)
+    xhi = xr[..., 1].reshape(kw * 4)
+    nc = (kw * 4) // (16 * Cg)
+    eye = jnp.eye(Cg, dtype=jnp.float32)
+
+    def diag(v):
+        v3 = v.astype(jnp.float32).reshape(nc, Cg, 16)
+        d = v3[:, None, :, :] * eye[None, :, :, None]
+        return d.reshape(nc * Cg, 16 * Cg).astype(dtype)
+
+    return diag(xlo), diag(xhi)
+
+
 def _gp_body(xlo, xhi, w2d, s2d, z2d, acc, *, spec: QuantSpec, Cg: int,
-             cpt: int, M: int, interpret: bool):
+             cpt: int, M: int, prebanded: bool, interpret: bool):
     """Shared chunk loop for the flat and stacked gp kernels.
 
-    xlo/xhi: [M, 4*BKW] plane activations (lo = even k, hi = odd k);
-    the block-diagonal lhs chunks are banded IN-KERNEL (mask-multiply on
-    [Cg*M, 16Cg] — trivial VPU work; building them in XLA cost ~0.6 ms
-    per decode step at 7B across 128 kernel calls).
+    prebanded (m=1): xlo/xhi are [cpt*Cg, 16Cg] block-diagonal chunks
+    built in XLA. Otherwise xlo/xhi are [M, 4*BKW] plane activations
+    (lo = even k, hi = odd k) banded in-kernel per chunk.
     w2d: [BKW, BN] u32; s2d/z2d: [Gt, BN]; acc: [Cg*M, BN] f32."""
     dn = (((1,), (0,)), ((), ()))
     wpc = 4 * Cg
     cols = 16 * Cg
-    band = _band_mask(Cg, 16, xlo.dtype)  # [Cg, 16Cg]
+    rpc = Cg * M
+    band = None if prebanded else _band_mask(Cg, 16, xlo.dtype)
     for c in range(cpt):
         wc = w2d[c * wpc:(c + 1) * wpc, :]
         lo8, hi8 = _nibble_planes(wc, interpret)
         sc = s2d[c * Cg:(c + 1) * Cg, :].astype(jnp.float32)
         if M > 1:
             sc = _row_repeat(sc, M)
-        xsl = xlo[:, c * cols:(c + 1) * cols]  # [M, 16Cg]
-        xsh = xhi[:, c * cols:(c + 1) * cols]
-        xl = (band[:, None, :] * xsl[None, :, :]).reshape(Cg * M, cols)
-        xh = (band[:, None, :] * xsh[None, :, :]).reshape(Cg * M, cols)
+        if prebanded:
+            xl = xlo[c * rpc:(c + 1) * rpc, :]
+            xh = xhi[c * rpc:(c + 1) * rpc, :]
+        else:
+            xsl = xlo[:, c * cols:(c + 1) * cols]  # [M, 16Cg]
+            xsh = xhi[:, c * cols:(c + 1) * cols]
+            xl = (band[:, None, :] * xsl[None, :, :]).reshape(rpc, cols)
+            xh = (band[:, None, :] * xsh[None, :, :]).reshape(rpc, cols)
         plo = jax.lax.dot_general(
             xl, lo8.astype(xl.dtype), dn, preferred_element_type=jnp.float32
         )
@@ -805,7 +829,7 @@ def _gp_body(xlo, xhi, w2d, s2d, z2d, acc, *, spec: QuantSpec, Cg: int,
 
 def _kernel_gp(xdl_ref, xdh_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
                spec: QuantSpec, Cg: int, cpt: int, M: int, k_steps: int,
-               out_dtype, interpret: bool):
+               prebanded: bool, out_dtype, interpret: bool):
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
@@ -814,7 +838,8 @@ def _kernel_gp(xdl_ref, xdh_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
 
     acc_ref[:] = _gp_body(
         xdl_ref[:], xdh_ref[:], w_ref[:], s_ref[:], z_ref[:], acc_ref[:],
-        spec=spec, Cg=Cg, cpt=cpt, M=M, interpret=interpret,
+        spec=spec, Cg=Cg, cpt=cpt, M=M, prebanded=prebanded,
+        interpret=interpret,
     )
 
     @pl.when(kk == k_steps - 1)
@@ -825,7 +850,7 @@ def _kernel_gp(xdl_ref, xdh_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
 
 def _kernel_gp_stacked(l_ref, xdl_ref, xdh_ref, w_ref, s_ref, z_ref, o_ref,
                        acc_ref, *, spec: QuantSpec, Cg: int, cpt: int, M: int,
-                       k_steps: int, out_dtype, interpret: bool):
+                       k_steps: int, prebanded: bool, out_dtype, interpret: bool):
     """Stacked variant: weight/scale blocks of layer l_ref[0] are DMA'd
     straight from the [L, ...] resting buffers via scalar-prefetch
     index maps (same trick as _kernel_pairs_stacked)."""
@@ -837,7 +862,8 @@ def _kernel_gp_stacked(l_ref, xdl_ref, xdh_ref, w_ref, s_ref, z_ref, o_ref,
 
     acc_ref[:] = _gp_body(
         xdl_ref[:], xdh_ref[:], w_ref[0], s_ref[0], z_ref[0], acc_ref[:],
-        spec=spec, Cg=Cg, cpt=cpt, M=M, interpret=interpret,
+        spec=spec, Cg=Cg, cpt=cpt, M=M, prebanded=prebanded,
+        interpret=interpret,
     )
 
     @pl.when(kk == k_steps - 1)
@@ -889,22 +915,28 @@ def _dequant_matmul_gp_2d(
     Gt = G // k_steps
     Cg = _gp_pick_cg(Gt, m)
     cpt = (4 * bkw) // (16 * Cg)
-    xr = x.reshape(m, kw, 4, 2)
-    xlo = xr[..., 0].reshape(m, kw * 4)
-    xhi = xr[..., 1].reshape(m, kw * 4)
+    prebanded = m == 1
+    if prebanded:
+        xlo, xhi = _prep_pairs_diag(x, kw, Cg, x.dtype)
+        x_spec = pl.BlockSpec((cpt * Cg, 16 * Cg), lambda i, j, kk: (kk, 0))
+    else:
+        xr = x.reshape(m, kw, 4, 2)
+        xlo = xr[..., 0].reshape(m, kw * 4)
+        xhi = xr[..., 1].reshape(m, kw * 4)
+        x_spec = pl.BlockSpec((m, 4 * bkw), lambda i, j, kk: (0, kk))
 
     if zero is None:
         zero = scale
     kernel = functools.partial(
         _kernel_gp, spec=spec, Cg=Cg, cpt=cpt, M=m, k_steps=k_steps,
-        out_dtype=out_dtype, interpret=interpret,
+        prebanded=prebanded, out_dtype=out_dtype, interpret=interpret,
     )
     out = pl.pallas_call(
         kernel,
         grid=(1, n_stored // bn, k_steps),
         in_specs=[
-            pl.BlockSpec((m, 4 * bkw), lambda i, j, kk: (0, kk)),
-            pl.BlockSpec((m, 4 * bkw), lambda i, j, kk: (0, kk)),
+            x_spec,
+            x_spec,
             pl.BlockSpec((bkw, bn), lambda i, j, kk: (kk, j)),
             pl.BlockSpec((Gt, bn), lambda i, j, kk: (kk, j)),
             pl.BlockSpec((Gt, bn), lambda i, j, kk: (kk, j)),
@@ -954,22 +986,28 @@ def _dequant_matmul_gp_stacked_2d(
     Gt = G // k_steps
     Cg = _gp_pick_cg(Gt, m)
     cpt = (4 * bkw) // (16 * Cg)
-    xr = x.reshape(m, kw, 4, 2)
-    xlo = xr[..., 0].reshape(m, kw * 4)
-    xhi = xr[..., 1].reshape(m, kw * 4)
+    prebanded = m == 1
+    if prebanded:
+        xlo, xhi = _prep_pairs_diag(x, kw, Cg, x.dtype)
+        x_spec = pl.BlockSpec((cpt * Cg, 16 * Cg), lambda i, j, kk, l: (kk, 0))
+    else:
+        xr = x.reshape(m, kw, 4, 2)
+        xlo = xr[..., 0].reshape(m, kw * 4)
+        xhi = xr[..., 1].reshape(m, kw * 4)
+        x_spec = pl.BlockSpec((m, 4 * bkw), lambda i, j, kk, l: (0, kk))
 
     if zero is None:
         zero = scale
     kernel = functools.partial(
         _kernel_gp_stacked, spec=spec, Cg=Cg, cpt=cpt, M=m, k_steps=k_steps,
-        out_dtype=out_dtype, interpret=interpret,
+        prebanded=prebanded, out_dtype=out_dtype, interpret=interpret,
     )
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1, n_stored // bn, k_steps),
         in_specs=[
-            pl.BlockSpec((m, 4 * bkw), lambda i, j, kk, l: (0, kk)),
-            pl.BlockSpec((m, 4 * bkw), lambda i, j, kk, l: (0, kk)),
+            x_spec,
+            x_spec,
             pl.BlockSpec((1, bkw, bn), lambda i, j, kk, l: (l[0], kk, j)),
             pl.BlockSpec((1, Gt, bn), lambda i, j, kk, l: (l[0], kk, j)),
             pl.BlockSpec((1, Gt, bn), lambda i, j, kk, l: (l[0], kk, j)),

@@ -445,6 +445,31 @@ def main():
             finally:
                 dm._pick_blocks = orig
 
+    if "prod" in exps:
+        print("== production gp kernel (in-kernel banding)", flush=True)
+        import importlib
+
+        dm = importlib.import_module("mlc_llm_tpu.ops.pallas.dequant_matmul")
+        from mlc_llm_tpu.quant.groupwise import pad_quantized_groups
+
+        qtp = pad_quantized_groups(qt)
+        for bn in want_bn:
+            if qtp.data.shape[1] % bn:
+                continue
+            orig_gp = dm._gp_blocks
+            dm._gp_blocks = lambda m_, kw_, n_, _bn=bn: (kw_, _bn)
+            dm._dequant_matmul_gp_2d.clear_cache()
+            try:
+                step = lambda x: dm.dequant_matmul(x, qtp)
+                check(step, x0, qt, f"prod(bn={bn})")
+                t = timed(make_loop(step, k), x0)
+                report(f"prod bn={bn}", t, qt)
+            except Exception as e:
+                print(f"  prod bn={bn} failed: {type(e).__name__}: "
+                      f"{str(e)[:300]}", flush=True)
+            finally:
+                dm._gp_blocks = orig_gp
+
     for variant in ("gp16", "w4a8", "bits16"):
         if variant not in exps:
             continue

@@ -15,13 +15,6 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-if "xla_cpu_multi_thread_eigen" not in flags:
-    # deterministic CPU reductions: under machine load, Eigen's threaded
-    # GEMM can flip low-order bits between identical runs, which flips a
-    # near-tie sampled token and breaks the seed-reproducibility tests
-    # (observed as a rare test_seeded_sampling_deterministic flake).
-    # TPU execution is deterministic; this only pins the CPU test mesh.
-    flags = (flags + " --xla_cpu_multi_thread_eigen=false").strip()
 os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
@@ -32,3 +25,11 @@ import jax  # noqa: E402
 # config directly (backends initialize lazily, so this wins).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+# Disable the persistent compilation cache for the CPU suite: it is
+# shared across sessions/machines, XLA:CPU AOT results are
+# machine-feature-dependent ("Machine type ... doesn't match" loader
+# errors), and a loaded-vs-freshly-compiled executable can differ in
+# low-order float bits — which flips near-tie sampled tokens and made
+# the seed-determinism test flake. The cache exists for the slow
+# tunneled TPU compiles (mlc_llm_tpu/__init__.py), not for CPU tests.
+jax.config.update("jax_enable_compilation_cache", False)

@@ -28,14 +28,6 @@ def test_seeded_sampling_deterministic(tiny_engine):
     gen = GenerationConfig(max_new_tokens=8, temperature=0.8, top_p=0.9, seed=42)
     a = tiny_engine.generate([[1, 2, 3]], gen)
     b = tiny_engine.generate([[1, 2, 3]], gen)
-    if a != b:  # TEMP DEBUG
-        import numpy as _np
-        c = tiny_engine.generate([[1, 2, 3]], gen)
-        la = tiny_engine.prefill([[1, 2, 3]])
-        lb = tiny_engine.prefill([[1, 2, 3]])
-        print("DBG a,b,c:", a, b, c)
-        print("DBG prefill equal:", bool((_np.asarray(la) == _np.asarray(lb)).all()))
-        print("DBG logits a[0,:8]:", _np.asarray(la)[0, :8])
     assert a == b
 
 
