@@ -56,6 +56,29 @@ def initialize(
     )
 
 
+def recommended_xla_flags() -> str:
+    """XLA flags for real TPU pods: enable the latency-hiding scheduler
+    and async collective fusion so the decode-step all-reduces (GSPMD
+    places one after o_proj and one after down_proj per layer — see
+    tests/test_sharding.py::test_sharded_decode_places_all_reduces)
+    overlap with the next matmuls. Single-chip and CPU runs ignore
+    these. Set as XLA_FLAGS before process start:
+
+        XLA_FLAGS="$(python -c 'from mlc_llm_tpu.parallel import \
+            multihost; print(multihost.recommended_xla_flags())')"
+    """
+    return " ".join(
+        [
+            "--xla_tpu_enable_async_collective_fusion=true",
+            "--xla_tpu_enable_async_collective_fusion_fuse_all_gather=true",
+            "--xla_tpu_enable_async_collective_fusion_multiple_steps=true",
+            "--xla_tpu_overlap_compute_collective_tc=true",
+            "--xla_enable_async_all_gather=true",
+            "--xla_enable_async_collective_permute=true",
+        ]
+    )
+
+
 def make_pod_mesh(
     tp: Optional[int] = None,
     dp: int = 1,

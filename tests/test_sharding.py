@@ -108,3 +108,31 @@ def test_sharded_params_gates_pallas_routing(monkeypatch):
         assert y.shape == (1, 256)
     finally:
         ops.set_sharded_params(False)
+
+
+def test_sharded_decode_places_all_reduces():
+    """The north star puts the TP all-reduces after o_proj and down_proj
+    (SURVEY §2.9). Verify GSPMD actually placed them in the OPTIMIZED
+    sharded decode program: expect >= 2 all-reduce ops per layer (plus
+    possibly one for the vocab-sharded logits). Async overlap itself is
+    a TPU-pod scheduler property (multihost.recommended_xla_flags);
+    placement is what is checkable on the virtual mesh."""
+    from mlc_llm_tpu.models import forward
+
+    cfg = get_config("tiny-llama")
+    mesh = make_mesh(tp=8, dp=1)
+    params = shard_params(init_random_params(cfg, "f32", seed=0), mesh)
+    cache = shard_cache(
+        init_kv_cache(cfg, batch=1, max_len=32, dtype=jnp.float32), mesh
+    )
+    toks = jnp.zeros((1, 1), jnp.int32)
+
+    @jax.jit
+    def decode(p, t, c):
+        return forward(p, cfg, t, c, last_only=True)
+
+    hlo = decode.lower(params, toks, cache).compile().as_text()
+    n_ar = hlo.count("all-reduce")
+    # the layer stack is a scan: its body should carry the two
+    # per-layer all-reduces (attention out-proj + MLP down-proj)
+    assert n_ar >= 2, f"expected >=2 all-reduce in sharded decode, got {n_ar}"
