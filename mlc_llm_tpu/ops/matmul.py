@@ -39,16 +39,17 @@ def qmatmul(
         m = 1
         for d in x.shape[:-1]:
             m *= d
-        # decode/gemv-class shapes go to the fused kernel (weights never
-        # materialize); big prefill blocks dequantize once and ride the
-        # MXU via XLA — the kernel would re-unpack per m-tile (VPU-bound)
-        # m <= 256 keeps a single m-tile in the kernel (no re-unpack);
-        # larger prefill blocks dequantize once and ride the MXU via XLA
+        # decode/gemv AND prefill-class shapes ride the fused kernels
+        # (weights never materialize in fp). The kernel re-reads packed
+        # weights once per 256-row m-tile — up to m~1024 that traffic
+        # (m/256 x 4.28 GB at 7B) stays well under the MXU time, while
+        # the XLA fallback materializes the full dequantized weights
+        # (measured as the 10x TTFT cliff at ctx 512 in round 2).
         from . import sharded_params
 
         use_pallas = mode == "pallas" or (
             mode == "auto"
-            and m <= 256
+            and m <= 1024
             and jax.default_backend() not in ("cpu",)
             and not sharded_params()
             and _supported_by_pallas(w)
@@ -104,7 +105,7 @@ def qmatmul_stacked(
             mode == "pallas"
             or (
                 mode == "auto"
-                and m <= 256
+                and m <= 1024
                 and jax.default_backend() != "cpu"
                 and not sharded_params()
             )
