@@ -58,12 +58,22 @@ def _bench_variant(qt, m: int, bkw: int, bn: int, steps=(16, 112)) -> float:
     try:
         x0 = jnp.ones((m, k), jnp.bfloat16) * 0.01
         float(jnp.asarray(loop(x0, 2)).reshape(-1)[0])
-        ts = {}
-        for s in steps:
-            t0 = time.perf_counter()
-            float(jnp.asarray(loop(x0, s)).reshape(-1)[0])
-            ts[s] = time.perf_counter() - t0
-        return (ts[steps[1]] - ts[steps[0]]) / (steps[1] - steps[0])
+        # the tunneled chip time-shares: single long-minus-short readings
+        # occasionally go NEGATIVE under interference; take the best of 3
+        # repeats and reject non-positive deltas
+        best = float("inf")
+        for _ in range(3):
+            ts = {}
+            for s in steps:
+                t0 = time.perf_counter()
+                float(jnp.asarray(loop(x0, s)).reshape(-1)[0])
+                ts[s] = time.perf_counter() - t0
+            d = (ts[steps[1]] - ts[steps[0]]) / (steps[1] - steps[0])
+            if d > 0:
+                best = min(best, d)
+        if best == float("inf"):
+            raise RuntimeError("unstable timing (all deltas non-positive)")
+        return best
     finally:
         dm._pick_blocks = orig
         dm._gp_blocks = orig_gp
