@@ -139,15 +139,24 @@ def paged_flash_decode(
     def q_idx(b, h, p, lt_, tb, ln):
         return (b, h, 0, 0)
 
+    # Clamp the page index to the slot's last VALID page: blocks past a
+    # slot's length then repeat the previous block index, and Mosaic
+    # skips the re-DMA for an unchanged block — so a short slot in a
+    # mixed batch reads only its own pages, not the window bound's
+    # (ragged continuous batching). The masked scores keep correctness
+    # regardless of which page the clamped index lands on.
+    def _pclamp(b, p, ln):
+        return jnp.minimum(p, ln[b] // ps)
+
     def k_idx(b, h, p, lt_, tb, ln):
-        return (lt_[0], tb[b, p], h // rep, 0, 0)
+        return (lt_[0], tb[b, _pclamp(b, p, ln)], h // rep, 0, 0)
 
     def v_idx(b, h, p, lt_, tb, ln):
-        return (lt_[0], tb[b, p], h // rep, 0, 0)
+        return (lt_[0], tb[b, _pclamp(b, p, ln)], h // rep, 0, 0)
 
     def ks_idx(b, h, p, lt_, tb, ln):
         if int8:
-            return (lt_[0], tb[b, p], h // rep, 0)
+            return (lt_[0], tb[b, _pclamp(b, p, ln)], h // rep, 0)
         return (0, 0, 0, 0)
 
     kern = functools.partial(
