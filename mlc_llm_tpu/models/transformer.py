@@ -225,11 +225,14 @@ def _layer(
 
     if page_table is not None:
         # paged path: scatter-write the new tokens into this slot's
-        # pages, gather the windowed pages back for attention
+        # pages, then attend — decode on TPU reads pages in place via
+        # the flash kernel; prefill/CPU/int8 gather the windowed pages
         from .paged_cache import (
             gather_pages_k,
             gather_pages_scale,
             gather_pages_v,
+            paged_flash_decode,
+            paged_flash_enabled,
             write_scales_paged,
             write_tokens_paged_k,
             write_tokens_paged_v,
@@ -240,35 +243,17 @@ def _layer(
         if attn_window is not None:
             maxp = min(maxp, -(-attn_window // ps))
 
-        from ..ops import kernel_mode, sharded_params
-
-        use_flash = S == 1 and (
-            kernel_mode() == "pallas"
-            or (
-                kernel_mode() == "auto"
-                and jax.default_backend() != "cpu"
-                and not sharded_params()
-            )
-        )
+        use_flash = S == 1 and paged_flash_enabled(ck.dtype)
         if use_flash:
-            # decode: paged flash kernel reads pages in place (the jnp
-            # gather below materializes a copy of the window per layer)
-            from ..ops.pallas.paged_attention import paged_flash_decode
-
-            if ck.dtype == jnp.int8:
-                kq, ks = _quantize_kv(k_bhsd)
-                vq, vs = _quantize_kv_t(v_bhds)
-                ck = write_tokens_paged_k(ck, kq, l, page_table, start)
-                cv = write_tokens_paged_v(cv, vq, l, page_table, start)
-                cks = write_scales_paged(cks, ks, l, page_table, start)
-                cvs = write_scales_paged(cvs, vs, l, page_table, start)
-            else:
-                ck = write_tokens_paged_k(ck, k_bhsd, l, page_table, start)
-                cv = write_tokens_paged_v(cv, v_bhds, l, page_table, start)
+            ck = write_tokens_paged_k(ck, k_bhsd, l, page_table, start)
+            cv = write_tokens_paged_v(cv, v_bhds, l, page_table, start)
+            # kernel applies no softmax scale and masks pos < length:
+            # pre-scale q, pass POST-advance lengths (the new token's
+            # KV is already written)
+            qs = q.transpose(0, 2, 1, 3) * (1.0 / (d ** 0.5))
             attn = paged_flash_decode(
-                q.transpose(0, 2, 1, 3), ck, cv, cks, cvs,
-                page_table, start, l, num_pages_window=maxp,
-                interpret=jax.default_backend() == "cpu",
+                qs, ck, cv, page_table, start + 1, l,
+                num_pages_window=maxp,
             )
             attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nh * d)
             attn_out = qmatmul_stacked(attn, weights["wo"], l, lp.get("bo"))

@@ -90,8 +90,8 @@ def attend_cache(
     # once at bandwidth — round 1's [B,H,S,D]-layout flash kernel made
     # 256-byte DMAs (~112 GB/s), lost to this path, and was deleted.
     # The PAGED cache decode, where the jnp gather would copy the whole
-    # window per layer, routes to the paged flash kernel instead
-    # (ops/pallas/paged_attention.py, models/transformer.py).
+    # window per layer, routes to the substrate's paged flash kernel
+    # instead (models/paged_cache.py paged_flash_decode).
     if ksc is not None:
         k = (kc.astype(jnp.float32) * ksc[..., None]).astype(q.dtype)
         v = (vc.astype(jnp.float32) * vsc[:, :, None, :]).astype(q.dtype)

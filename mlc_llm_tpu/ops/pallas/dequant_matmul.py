@@ -760,38 +760,36 @@ def _band_mask(Cg: int, width: int, dtype):
 
 
 def _prep_pairs_diag(x: Array, kw: int, Cg: int, dtype):
-    """m=1 fast path: x [1, K] -> block-diagonal (xdl, xdh), each
-    [NC*Cg, 16*Cg], built in XLA (one cheap op chain per call). The
-    in-kernel band-multiply re-runs per n-tile and measured 27% slower
-    at m=1 (531 vs 673 GB/s same-process, scripts/kexp.py prod vs gp16);
+    """m=1 fast path: x [1, K] -> ONE [2, NC*Cg, 16*Cg] block-diagonal
+    array (plane 0 = even k, plane 1 = odd k), built in XLA as a single
+    fused op chain per call (two separate per-plane chains doubled the
+    tiny-op dispatch count — 256 chains/step at 7B). The in-kernel
+    band-multiply re-runs per n-tile and measured 27% slower at m=1
+    (531 vs 673 GB/s same-process, scripts/kexp.py prod vs gp16);
     m>1 keeps the in-kernel band (the m-fold diag would be large)."""
     xr = x.reshape(kw, 4, 2)
-    xlo = xr[..., 0].reshape(kw * 4)
-    xhi = xr[..., 1].reshape(kw * 4)
+    xp = xr.transpose(2, 0, 1).reshape(2, kw * 4)
     nc = (kw * 4) // (16 * Cg)
     eye = jnp.eye(Cg, dtype=jnp.float32)
-
-    def diag(v):
-        v3 = v.astype(jnp.float32).reshape(nc, Cg, 16)
-        d = v3[:, None, :, :] * eye[None, :, :, None]
-        return d.reshape(nc * Cg, 16 * Cg).astype(dtype)
-
-    return diag(xlo), diag(xhi)
+    v3 = xp.astype(jnp.float32).reshape(2, nc, Cg, 16)
+    d = v3[:, :, None, :, :] * eye[None, None, :, :, None]
+    return d.reshape(2, nc * Cg, 16 * Cg).astype(dtype)
 
 
-def _gp_body(xlo, xhi, w2d, s2d, z2d, acc, *, spec: QuantSpec, Cg: int,
+def _gp_body(xp, w2d, s2d, z2d, acc, *, spec: QuantSpec, Cg: int,
              cpt: int, M: int, prebanded: bool, interpret: bool):
     """Shared chunk loop for the flat and stacked gp kernels.
 
-    prebanded (m=1): xlo/xhi are [cpt*Cg, 16Cg] block-diagonal chunks
-    built in XLA. Otherwise xlo/xhi are [M, 4*BKW] plane activations
-    (lo = even k, hi = odd k) banded in-kernel per chunk.
+    xp stacks the even-k (plane 0) and odd-k (plane 1) activations:
+    prebanded (m=1) as [2, cpt*Cg, 16Cg] block-diagonal chunks built in
+    XLA; otherwise as [2, M, 4*BKW] plane activations banded in-kernel
+    per chunk.
     w2d: [BKW, BN] u32; s2d/z2d: [Gt, BN]; acc: [Cg*M, BN] f32."""
     dn = (((1,), (0,)), ((), ()))
     wpc = 4 * Cg
     cols = 16 * Cg
     rpc = Cg * M
-    band = None if prebanded else _band_mask(Cg, 16, xlo.dtype)
+    band = None if prebanded else _band_mask(Cg, 16, xp.dtype)
     for c in range(cpt):
         wc = w2d[c * wpc:(c + 1) * wpc, :]
         lo8, hi8 = _nibble_planes(wc, interpret)
@@ -799,11 +797,11 @@ def _gp_body(xlo, xhi, w2d, s2d, z2d, acc, *, spec: QuantSpec, Cg: int,
         if M > 1:
             sc = _row_repeat(sc, M)
         if prebanded:
-            xl = xlo[c * rpc:(c + 1) * rpc, :]
-            xh = xhi[c * rpc:(c + 1) * rpc, :]
+            xl = xp[0, c * rpc:(c + 1) * rpc, :]
+            xh = xp[1, c * rpc:(c + 1) * rpc, :]
         else:
-            xsl = xlo[:, c * cols:(c + 1) * cols]  # [M, 16Cg]
-            xsh = xhi[:, c * cols:(c + 1) * cols]
+            xsl = xp[0, :, c * cols:(c + 1) * cols]  # [M, 16Cg]
+            xsh = xp[1, :, c * cols:(c + 1) * cols]
             xl = (band[:, None, :] * xsl[None, :, :]).reshape(rpc, cols)
             xh = (band[:, None, :] * xsh[None, :, :]).reshape(rpc, cols)
         plo = jax.lax.dot_general(
@@ -827,7 +825,7 @@ def _gp_body(xlo, xhi, w2d, s2d, z2d, acc, *, spec: QuantSpec, Cg: int,
     return acc
 
 
-def _kernel_gp(xdl_ref, xdh_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
+def _kernel_gp(xp_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
                spec: QuantSpec, Cg: int, cpt: int, M: int, k_steps: int,
                prebanded: bool, out_dtype, interpret: bool):
     kk = pl.program_id(2)
@@ -837,7 +835,7 @@ def _kernel_gp(xdl_ref, xdh_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     acc_ref[:] = _gp_body(
-        xdl_ref[:], xdh_ref[:], w_ref[:], s_ref[:], z_ref[:], acc_ref[:],
+        xp_ref[:], w_ref[:], s_ref[:], z_ref[:], acc_ref[:],
         spec=spec, Cg=Cg, cpt=cpt, M=M, prebanded=prebanded,
         interpret=interpret,
     )
@@ -848,7 +846,7 @@ def _kernel_gp(xdl_ref, xdh_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
         o_ref[:] = jnp.sum(a.reshape(Cg, M, a.shape[-1]), axis=0).astype(out_dtype)
 
 
-def _kernel_gp_stacked(l_ref, xdl_ref, xdh_ref, w_ref, s_ref, z_ref, o_ref,
+def _kernel_gp_stacked(l_ref, xp_ref, w_ref, s_ref, z_ref, o_ref,
                        acc_ref, *, spec: QuantSpec, Cg: int, cpt: int, M: int,
                        k_steps: int, prebanded: bool, out_dtype, interpret: bool):
     """Stacked variant: weight/scale blocks of layer l_ref[0] are DMA'd
@@ -861,7 +859,7 @@ def _kernel_gp_stacked(l_ref, xdl_ref, xdh_ref, w_ref, s_ref, z_ref, o_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     acc_ref[:] = _gp_body(
-        xdl_ref[:], xdh_ref[:], w_ref[0], s_ref[0], z_ref[0], acc_ref[:],
+        xp_ref[:], w_ref[0], s_ref[0], z_ref[0], acc_ref[:],
         spec=spec, Cg=Cg, cpt=cpt, M=M, prebanded=prebanded,
         interpret=interpret,
     )
@@ -917,13 +915,13 @@ def _dequant_matmul_gp_2d(
     cpt = (4 * bkw) // (16 * Cg)
     prebanded = m == 1
     if prebanded:
-        xlo, xhi = _prep_pairs_diag(x, kw, Cg, x.dtype)
-        x_spec = pl.BlockSpec((cpt * Cg, 16 * Cg), lambda i, j, kk: (kk, 0))
+        xp = _prep_pairs_diag(x, kw, Cg, x.dtype)
+        x_spec = pl.BlockSpec((2, cpt * Cg, 16 * Cg),
+                              lambda i, j, kk: (0, kk, 0))
     else:
         xr = x.reshape(m, kw, 4, 2)
-        xlo = xr[..., 0].reshape(m, kw * 4)
-        xhi = xr[..., 1].reshape(m, kw * 4)
-        x_spec = pl.BlockSpec((m, 4 * bkw), lambda i, j, kk: (0, kk))
+        xp = xr.transpose(3, 0, 1, 2).reshape(2, m, kw * 4)
+        x_spec = pl.BlockSpec((2, m, 4 * bkw), lambda i, j, kk: (0, 0, kk))
 
     if zero is None:
         zero = scale
@@ -935,7 +933,6 @@ def _dequant_matmul_gp_2d(
         kernel,
         grid=(1, n_stored // bn, k_steps),
         in_specs=[
-            x_spec,
             x_spec,
             pl.BlockSpec((bkw, bn), lambda i, j, kk: (kk, j)),
             pl.BlockSpec((Gt, bn), lambda i, j, kk: (kk, j)),
@@ -954,7 +951,7 @@ def _dequant_matmul_gp_2d(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xlo, xhi, data, scale, zero)
+    )(xp, data, scale, zero)
     return out[:, :n]
 
 
@@ -988,13 +985,13 @@ def _dequant_matmul_gp_stacked_2d(
     cpt = (4 * bkw) // (16 * Cg)
     prebanded = m == 1
     if prebanded:
-        xlo, xhi = _prep_pairs_diag(x, kw, Cg, x.dtype)
-        x_spec = pl.BlockSpec((cpt * Cg, 16 * Cg), lambda i, j, kk, l: (kk, 0))
+        xp = _prep_pairs_diag(x, kw, Cg, x.dtype)
+        x_spec = pl.BlockSpec((2, cpt * Cg, 16 * Cg),
+                              lambda i, j, kk, l: (0, kk, 0))
     else:
         xr = x.reshape(m, kw, 4, 2)
-        xlo = xr[..., 0].reshape(m, kw * 4)
-        xhi = xr[..., 1].reshape(m, kw * 4)
-        x_spec = pl.BlockSpec((m, 4 * bkw), lambda i, j, kk, l: (0, kk))
+        xp = xr.transpose(3, 0, 1, 2).reshape(2, m, kw * 4)
+        x_spec = pl.BlockSpec((2, m, 4 * bkw), lambda i, j, kk, l: (0, 0, kk))
 
     if zero is None:
         zero = scale
@@ -1006,7 +1003,6 @@ def _dequant_matmul_gp_stacked_2d(
         num_scalar_prefetch=1,
         grid=(1, n_stored // bn, k_steps),
         in_specs=[
-            x_spec,
             x_spec,
             pl.BlockSpec((1, bkw, bn), lambda i, j, kk, l: (l[0], kk, j)),
             pl.BlockSpec((1, Gt, bn), lambda i, j, kk, l: (l[0], kk, j)),
@@ -1023,7 +1019,7 @@ def _dequant_matmul_gp_stacked_2d(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(layer, xlo, xhi, data, scale, zero)
+    )(layer, xp, data, scale, zero)
     return out[:, :n]
 
 

@@ -57,6 +57,33 @@ def rb(x):
     return float(jnp.asarray(x).reshape(-1)[0])
 
 
+@jax.jit
+def decode_logits(params, tok, cache):
+    logits, cache = forward(params, cfg, tok, cache, last_only=True,
+                            attn_window=WINDOW)
+    return logits, cache
+
+
+def check_parity(slot_cache, paged_cache):
+    """Slot-contiguous (XLA einsum attention) vs paged (flash kernel)
+    decode logits on identical state — the on-chip numerics check for
+    the substrate paged-attention kernel (CPU tests mock it)."""
+    prompt = jnp.asarray(
+        np.random.default_rng(0).integers(10, 1000, (B, CTX)), jnp.int32)
+    lens = jnp.full((B,), CTX, jnp.int32)
+    ls, slot_cache = prefill(params, prompt, lens, slot_cache)
+    lp, paged_cache = prefill(params, prompt, lens, paged_cache)
+    tok = jnp.argmax(ls, -1).astype(jnp.int32)[:, None]
+    ls2, _ = decode_logits(params, tok, slot_cache)
+    lp2, _ = decode_logits(params, tok, paged_cache)
+    a, b = np.asarray(ls2, np.float32), np.asarray(lp2, np.float32)
+    amax = np.argmax(a, -1), np.argmax(b, -1)
+    rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+    print(f"decode logits parity: max rel diff {rel:.2e}, "
+          f"argmax match {np.mean(amax[0] == amax[1]):.2f}", flush=True)
+    assert rel < 5e-2 and np.all(amax[0] == amax[1]), "paged parity FAILED"
+
+
 def run(cache, label):
     prompt = jnp.asarray(
         np.random.default_rng(0).integers(10, 1000, (B, CTX)), jnp.int32)
@@ -76,20 +103,26 @@ def run(cache, label):
     return per
 
 
+import dataclasses
+
+
+def make_paged():
+    paged = init_paged_kv_cache(cfg, B, num_pages=B * (512 // PS) + 1,
+                                page_size=PS, max_pages_per_slot=512 // PS)
+    alloc = PageAllocator(paged.num_pages)
+    table = np.zeros(paged.page_table.shape, np.int32)
+    for b in range(B):
+        pg = alloc.alloc(512 // PS)
+        table[b, : len(pg)] = pg
+    return dataclasses.replace(paged, page_table=jnp.asarray(table))
+
+
+check_parity(init_kv_cache(cfg, batch=B, max_len=512), make_paged())
+
 slot = init_kv_cache(cfg, batch=B, max_len=512)
 per_slot = run(slot, f"slot-contiguous b{B}")
 del slot
 
-paged = init_paged_kv_cache(cfg, B, num_pages=B * (512 // PS) + 1,
-                            page_size=PS, max_pages_per_slot=512 // PS)
-alloc = PageAllocator(paged.num_pages)
-table = np.zeros(paged.page_table.shape, np.int32)
-for b in range(B):
-    pg = alloc.alloc(512 // PS)
-    table[b, : len(pg)] = pg
-import dataclasses
-
-paged = dataclasses.replace(paged, page_table=jnp.asarray(table))
-per_paged = run(paged, f"paged b{B} ps{PS}")
+per_paged = run(make_paged(), f"paged b{B} ps{PS}")
 print(f"paged/slot step ratio: {per_paged/per_slot:.3f} "
       f"(gate: <= 1.10)", flush=True)
