@@ -59,7 +59,7 @@ class InferenceEngine:
         cache_dtype=jnp.bfloat16,
         prefill_buckets: Sequence[int] = DEFAULT_BUCKETS,
         kv_layout: str = "slot",
-        page_size: int = 64,
+        page_size: int = 128,
         num_pages: Optional[int] = None,
     ):
         """kv_layout: "slot" = slot-contiguous [B, Smax] KV (small-batch

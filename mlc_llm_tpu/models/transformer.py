@@ -224,16 +224,19 @@ def _layer(
     v_bhds = v.transpose(0, 2, 3, 1)
 
     if page_table is not None:
-        # paged path: scatter-write the new tokens into this slot's
-        # pages, then attend — decode on TPU reads pages in place via
-        # the flash kernel; prefill/CPU/int8 gather the windowed pages
+        # paged path: write the new tokens into this slot's pages
+        # (in-place DUS), then attend — decode reads pages in place via
+        # the head-packed flash kernel; prefill/CPU gather the windowed
+        # pages
         from .paged_cache import (
             gather_pages_k,
-            gather_pages_scale,
+            gather_pages_scale_k,
+            gather_pages_scale_v,
             gather_pages_v,
             paged_flash_decode,
             paged_flash_enabled,
-            write_scales_paged,
+            write_scales_paged_k,
+            write_scales_paged_v,
             write_tokens_paged_k,
             write_tokens_paged_v,
         )
@@ -243,41 +246,38 @@ def _layer(
         if attn_window is not None:
             maxp = min(maxp, -(-attn_window // ps))
 
-        use_flash = S == 1 and paged_flash_enabled(ck.dtype)
-        if use_flash:
-            ck = write_tokens_paged_k(ck, k_bhsd, l, page_table, start)
-            cv = write_tokens_paged_v(cv, v_bhds, l, page_table, start)
-            # kernel applies no softmax scale and masks pos < length:
-            # pre-scale q, pass POST-advance lengths (the new token's
-            # KV is already written)
-            qs = q.transpose(0, 2, 1, 3) * (1.0 / (d ** 0.5))
-            attn = paged_flash_decode(
-                qs, ck, cv, page_table, start + 1, l,
-                num_pages_window=maxp,
-            )
-            attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nh * d)
-            attn_out = qmatmul_stacked(attn, weights["wo"], l, lp.get("bo"))
-            h = _layer_tail(h, attn_out, h_mlp_in, lp, weights, l, cfg)
-            return h, ck, cv, cks, cvs
-
         if ck.dtype == jnp.int8:
             kq, ks = _quantize_kv(k_bhsd)
             vq, vs = _quantize_kv_t(v_bhds)
             ck = write_tokens_paged_k(ck, kq, l, page_table, start)
             cv = write_tokens_paged_v(cv, vq, l, page_table, start)
-            cks = write_scales_paged(cks, ks, l, page_table, start)
-            cvs = write_scales_paged(cvs, vs, l, page_table, start)
-            kc = gather_pages_k(ck, l, page_table, maxp)
-            vc = gather_pages_v(cv, l, page_table, maxp)
-            ksc = gather_pages_scale(cks, l, page_table, maxp)
-            vsc = gather_pages_scale(cvs, l, page_table, maxp)
+            cks = write_scales_paged_k(cks, ks, l, page_table, start)
+            cvs = write_scales_paged_v(cvs, vs, l, page_table, start)
         else:
             ck = write_tokens_paged_k(ck, k_bhsd, l, page_table, start)
             cv = write_tokens_paged_v(cv, v_bhds, l, page_table, start)
-            kc = gather_pages_k(ck, l, page_table, maxp)
-            vc = gather_pages_v(cv, l, page_table, maxp)
-            ksc = vsc = None
-        attn = attend_cache(q.transpose(0, 2, 1, 3), kc, vc, ksc, vsc, start)
+
+        from ..ops import kernel_mode
+
+        on_cpu = jax.default_backend() == "cpu"
+        if S == 1 and (paged_flash_enabled(ck.dtype) or
+                       (on_cpu and kernel_mode() == "pallas")):
+            attn = paged_flash_decode(
+                q.transpose(0, 2, 1, 3), ck, cv, cks, cvs,
+                page_table, start, l,
+                num_pages_window=maxp, head_dim=d, interpret=on_cpu,
+            )
+        else:
+            kc = gather_pages_k(ck, l, page_table, maxp, d)
+            vc = gather_pages_v(cv, l, page_table, maxp, d)
+            if ck.dtype == jnp.int8:
+                ksc = gather_pages_scale_k(cks, l, page_table, maxp)
+                vsc = gather_pages_scale_v(cvs, l, page_table, maxp)
+            else:
+                ksc = vsc = None
+            attn = attend_cache(
+                q.transpose(0, 2, 1, 3), kc, vc, ksc, vsc, start
+            )
         attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nh * d)
         attn_out = qmatmul_stacked(attn, weights["wo"], l, lp.get("bo"))
         h = _layer_tail(h, attn_out, h_mlp_in, lp, weights, l, cfg)

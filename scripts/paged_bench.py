@@ -25,7 +25,7 @@ from mlc_llm_tpu.quant.groupwise import QuantizedTensor, pad_quantized_groups
 B = int(os.environ.get("PB_BATCH", "8"))
 CTX = 128
 WINDOW = 256
-PS = 64
+PS = int(os.environ.get("PB_PS", "128"))
 
 cfg = get_config("vicuna-v1-7b")
 params = init_random_params(cfg, "q4bf16", seed=0, fabricate=True)

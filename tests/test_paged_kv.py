@@ -203,92 +203,92 @@ def test_paged_session_multiturn():
     assert len(eng._slot_pages[sess.slot]) == 0  # released
 
 
-def _reference_lib_paged_attention(q, k_pages, v_pages, lengths, page_indices,
-                                   *, pages_per_compute_block):
-    """jnp model of the substrate kernel's contract
-    (jax.experimental.pallas.ops.tpu.paged_attention): NO softmax scale,
-    positions < length valid, pages gathered via page_indices from the
-    [Hkv, totalP, ps, D] pools. Used to test our glue (layer offsetting,
-    q pre-scale, post-advance lengths) on CPU; the real kernel is
-    verified against the slot-contiguous path on-chip
-    (scripts/paged_bench.py, docs/PERF.md)."""
-    B, Hq, D = q.shape
-    Hkv, T, ps, _ = k_pages.shape
-    rep = Hq // Hkv
-    k = jnp.take(k_pages, page_indices, axis=1)  # [Hkv, B, mp, ps, D]
-    v = jnp.take(v_pages, page_indices, axis=1)
-    mp = page_indices.shape[1]
-    k = k.transpose(1, 0, 2, 3, 4).reshape(B, Hkv, mp * ps, D)
-    v = v.transpose(1, 0, 2, 3, 4).reshape(B, Hkv, mp * ps, D)
-    k = jnp.repeat(k, rep, axis=1)
-    v = jnp.repeat(v, rep, axis=1)
-    s = jnp.einsum("bhd,bhjd->bhj", q.astype(jnp.float32),
-                   k.astype(jnp.float32))
-    pos = jnp.arange(mp * ps)[None, None, :]
-    s = jnp.where(pos < lengths[:, None, None], s, -1e30)
-    p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhj,bhjd->bhd", p, v.astype(jnp.float32)).astype(q.dtype)
-
-
-def test_paged_flash_decode_glue_matches_gather(setup, monkeypatch):
-    """paged_flash_decode's glue (flat layer-offset table, length clamp,
-    pool reshape) against the gather path, with the substrate kernel
-    replaced by a jnp model of its contract."""
-    import jax.experimental.pallas.ops.tpu.paged_attention as lib
-
+@pytest.mark.parametrize("dtype,rep", [
+    (jnp.float32, 1), (jnp.int8, 1), (jnp.float32, 2)
+])
+def test_paged_flash_decode_kernel_matches_gather(setup, dtype, rep):
+    """Head-packed paged flash kernel (interpret) vs the jnp gather
+    path — fp and int8 ([ps]-granular scales), MHA and GQA (rep=2),
+    mid-page mixed lengths."""
     from mlc_llm_tpu.models import paged_cache
     from mlc_llm_tpu.ops.attention import attend_cache
 
-    monkeypatch.setattr(lib, "paged_attention", _reference_lib_paged_attention)
-
     cfg, params = setup
     rng = np.random.default_rng(7)
-    B, Hq, D, ps = 2, cfg.num_heads, cfg.head_dim, 8
-    L, P = cfg.num_layers, 16
-    kp = jnp.asarray(rng.standard_normal((Hq, L, P, ps, D)), jnp.float32)
-    vp = jnp.asarray(rng.standard_normal((Hq, L, P, ps, D)), jnp.float32)
+    D, ps = cfg.head_dim, 8
+    Hq = cfg.num_heads
+    Hkv = Hq // rep
+    hb = paged_cache.default_head_block(Hkv)
+    G = Hkv // hb
+    B, L, P = 2, cfg.num_layers, 16
+    if dtype == jnp.int8:
+        kp = jnp.asarray(rng.integers(-127, 127, (G, L, P, ps, hb * D)),
+                         jnp.int8)
+        vp = jnp.asarray(rng.integers(-127, 127, (G, L, P, ps, hb * D)),
+                         jnp.int8)
+        ks = jnp.asarray(rng.random((G, L, P, hb, ps)) * 0.02 + 0.001,
+                         jnp.float32)
+        vs = jnp.asarray(rng.random((G, L, P, ps, hb)) * 0.02 + 0.001,
+                         jnp.float32)
+    else:
+        kp = jnp.asarray(rng.standard_normal((G, L, P, ps, hb * D)),
+                         jnp.float32)
+        vp = jnp.asarray(rng.standard_normal((G, L, P, ps, hb * D)),
+                         jnp.float32)
+        ks = vs = None
     table = jnp.asarray([[3, 5, 1, 9], [2, 8, 4, 0]], jnp.int32)
     lengths = jnp.asarray([19, 8], jnp.int32)  # PRE-advance, mid-page
     q = jnp.asarray(rng.standard_normal((B, Hq, 1, D)), jnp.float32)
     l = jnp.int32(1)
 
     got = paged_cache.paged_flash_decode(
-        q * (1.0 / D ** 0.5), kp, vp, table, lengths + 1, l,
-        num_pages_window=4,
+        q, kp, vp, ks, vs, table, lengths, l,
+        num_pages_window=4, head_dim=D, interpret=True,
     )
 
-    kc = paged_cache.gather_pages_k(kp, l, table, 4)
-    vc = paged_cache.gather_pages_v(vp, l, table, 4)
-    want = attend_cache(q, kc, vc, None, None, lengths)
+    kc = paged_cache.gather_pages_k(kp, l, table, 4, D)
+    vc = paged_cache.gather_pages_v(vp, l, table, 4, D)
+    if dtype == jnp.int8:
+        ksc = paged_cache.gather_pages_scale_k(ks, l, table, 4)
+        vsc = paged_cache.gather_pages_scale_v(vs, l, table, 4)
+    else:
+        ksc = vsc = None
+    if rep > 1:
+        kc = jnp.repeat(kc, rep, axis=1)
+        vc = jnp.repeat(vc, rep, axis=1)
+        if ksc is not None:
+            ksc = jnp.repeat(ksc, rep, axis=1)
+            vsc = jnp.repeat(vsc, rep, axis=1)
+    want = attend_cache(q, kc, vc, ksc, vsc, lengths)
+    tol = 1e-5 if dtype == jnp.float32 else 2e-2
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
-        atol=1e-5, rtol=1e-5,
+        atol=tol, rtol=tol,
     )
 
 
-def test_paged_forward_flash_path_matches(setup, monkeypatch):
-    """forward() with the flash route force-enabled (kernel mocked by
-    the contract model) must match the jnp gather path at decode —
-    covers the transformer glue: q pre-scaling and post-advance
-    lengths."""
-    from mlc_llm_tpu.models import paged_cache
+def test_paged_forward_flash_path_matches(setup):
+    """forward() with the flash kernel forced (interpret on CPU) must
+    match the jnp gather path at decode — covers the transformer glue
+    end-to-end, fp32 and int8."""
+    from mlc_llm_tpu.ops import use_kernels
 
     cfg, params = setup
     toks = jnp.asarray([[1, 2, 3, 4, 5]], jnp.int32)
-    paged = init_paged_kv_cache(cfg, batch=1, num_pages=16, page_size=8,
-                                max_pages_per_slot=4, dtype=jnp.float32)
-    alloc = PageAllocator(16)
-    paged = _with_pages(paged, alloc, [alloc.alloc(3)])
-    _, paged = forward(params, cfg, toks, paged, last_only=True)
-    nxt = jnp.asarray([[9]], jnp.int32)
-    want, _ = forward(params, cfg, nxt, paged,
-                      seq_lens=jnp.asarray([1], jnp.int32), last_only=True)
-
-    import jax.experimental.pallas.ops.tpu.paged_attention as lib
-
-    monkeypatch.setattr(lib, "paged_attention", _reference_lib_paged_attention)
-    monkeypatch.setattr(paged_cache, "paged_flash_enabled", lambda dtype: True)
-    got, _ = forward(params, cfg, nxt, paged,
-                     seq_lens=jnp.asarray([1], jnp.int32), last_only=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-4, atol=2e-4)
+    for dtype in (jnp.float32, jnp.int8):
+        paged = init_paged_kv_cache(cfg, batch=1, num_pages=16, page_size=8,
+                                    max_pages_per_slot=4, dtype=dtype)
+        alloc = PageAllocator(16)
+        paged = _with_pages(paged, alloc, [alloc.alloc(3)])
+        _, paged = forward(params, cfg, toks, paged, last_only=True)
+        nxt = jnp.asarray([[9]], jnp.int32)
+        want, _ = forward(params, cfg, nxt, paged,
+                          seq_lens=jnp.asarray([1], jnp.int32),
+                          last_only=True)
+        with use_kernels("pallas"):
+            got, _ = forward(params, cfg, nxt, paged,
+                             seq_lens=jnp.asarray([1], jnp.int32),
+                             last_only=True)
+        tol = 2e-4 if dtype == jnp.float32 else 2e-2
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=tol, atol=tol)
