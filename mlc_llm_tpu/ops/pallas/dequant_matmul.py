@@ -825,18 +825,49 @@ def _gp_body(xp, w2d, s2d, z2d, acc, *, spec: QuantSpec, Cg: int,
     return acc
 
 
-def _kernel_gp(xp_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
+def _band_store(xp_ref, xd_ref, *, Cg: int, cpt: int, M: int):
+    """Band the [2, M, 4*KW] plane activations into the block-diagonal
+    scratch layout [2, cpt*Cg*M, 16*Cg] (rows Cg-major per chunk)."""
+    band = _band_mask(Cg, 16, xd_ref.dtype)
+    cols = 16 * Cg
+    rpc = Cg * M
+    for c in range(cpt):
+        for p in range(2):
+            xs = xp_ref[p, :, c * cols:(c + 1) * cols]  # [M, 16Cg]
+            xd_ref[p, c * rpc:(c + 1) * rpc, :] = (
+                band[:, None, :] * xs[None, :, :]
+            ).reshape(rpc, cols)
+
+
+def _kernel_gp(xp_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *scratch,
                spec: QuantSpec, Cg: int, cpt: int, M: int, k_steps: int,
-               prebanded: bool, out_dtype, interpret: bool):
+               prebanded: bool, band_scratch: bool, out_dtype,
+               interpret: bool):
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    if band_scratch:
+        # k_steps == 1: band ONCE into VMEM scratch at the first n-tile
+        # and reuse for every tile — no XLA-side diag prep (each prep
+        # chain cost ~5 us/op of latency-bound glue), no per-tile
+        # re-banding (27% slower when recomputed per tile)
+        xd_ref = scratch[0]
+
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            _band_store(xp_ref, xd_ref, Cg=Cg, cpt=cpt, M=M)
+
+        x_in = xd_ref[:]
+        banded = True
+    else:
+        x_in = xp_ref[:]
+        banded = prebanded
     acc_ref[:] = _gp_body(
-        xp_ref[:], w_ref[:], s_ref[:], z_ref[:], acc_ref[:],
-        spec=spec, Cg=Cg, cpt=cpt, M=M, prebanded=prebanded,
+        x_in, w_ref[:], s_ref[:], z_ref[:], acc_ref[:],
+        spec=spec, Cg=Cg, cpt=cpt, M=M, prebanded=banded,
         interpret=interpret,
     )
 
@@ -847,8 +878,9 @@ def _kernel_gp(xp_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
 
 
 def _kernel_gp_stacked(l_ref, xp_ref, w_ref, s_ref, z_ref, o_ref,
-                       acc_ref, *, spec: QuantSpec, Cg: int, cpt: int, M: int,
-                       k_steps: int, prebanded: bool, out_dtype, interpret: bool):
+                       acc_ref, *scratch, spec: QuantSpec, Cg: int, cpt: int,
+                       M: int, k_steps: int, prebanded: bool,
+                       band_scratch: bool, out_dtype, interpret: bool):
     """Stacked variant: weight/scale blocks of layer l_ref[0] are DMA'd
     straight from the [L, ...] resting buffers via scalar-prefetch
     index maps (same trick as _kernel_pairs_stacked)."""
@@ -858,9 +890,21 @@ def _kernel_gp_stacked(l_ref, xp_ref, w_ref, s_ref, z_ref, o_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    if band_scratch:
+        xd_ref = scratch[0]
+
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            _band_store(xp_ref, xd_ref, Cg=Cg, cpt=cpt, M=M)
+
+        x_in = xd_ref[:]
+        banded = True
+    else:
+        x_in = xp_ref[:]
+        banded = prebanded
     acc_ref[:] = _gp_body(
-        xp_ref[:], w_ref[0], s_ref[0], z_ref[0], acc_ref[:],
-        spec=spec, Cg=Cg, cpt=cpt, M=M, prebanded=prebanded,
+        x_in, w_ref[0], s_ref[0], z_ref[0], acc_ref[:],
+        spec=spec, Cg=Cg, cpt=cpt, M=M, prebanded=banded,
         interpret=interpret,
     )
 
@@ -913,8 +957,15 @@ def _dequant_matmul_gp_2d(
     Gt = G // k_steps
     Cg = _gp_pick_cg(Gt, m)
     cpt = (4 * bkw) // (16 * Cg)
-    prebanded = m == 1
-    if prebanded:
+    band_scratch = k_steps == 1
+    prebanded = m == 1 and not band_scratch
+    scratch = [pltpu.VMEM((Cg * m, bn), jnp.float32)]
+    if band_scratch:
+        xr = x.reshape(m, kw, 4, 2)
+        xp = xr.transpose(3, 0, 1, 2).reshape(2, m, kw * 4)
+        x_spec = pl.BlockSpec((2, m, 4 * bkw), lambda i, j, kk: (0, 0, kk))
+        scratch.append(pltpu.VMEM((2, cpt * Cg * m, 16 * Cg), x.dtype))
+    elif prebanded:
         xp = _prep_pairs_diag(x, kw, Cg, x.dtype)
         x_spec = pl.BlockSpec((2, cpt * Cg, 16 * Cg),
                               lambda i, j, kk: (0, kk, 0))
@@ -927,7 +978,8 @@ def _dequant_matmul_gp_2d(
         zero = scale
     kernel = functools.partial(
         _kernel_gp, spec=spec, Cg=Cg, cpt=cpt, M=m, k_steps=k_steps,
-        prebanded=prebanded, out_dtype=out_dtype, interpret=interpret,
+        prebanded=prebanded, band_scratch=band_scratch, out_dtype=out_dtype,
+        interpret=interpret,
     )
     out = pl.pallas_call(
         kernel,
@@ -940,9 +992,13 @@ def _dequant_matmul_gp_2d(
         ],
         out_specs=pl.BlockSpec((m, bn), lambda i, j, kk: (0, j)),
         out_shape=jax.ShapeDtypeStruct((m, n_stored), out_dtype),
-        scratch_shapes=[pltpu.VMEM((Cg * m, bn), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=(
+                "parallel",
+                "arbitrary" if band_scratch else "parallel",
+                "arbitrary",
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * k_stored * n_stored,
@@ -983,8 +1039,15 @@ def _dequant_matmul_gp_stacked_2d(
     Gt = G // k_steps
     Cg = _gp_pick_cg(Gt, m)
     cpt = (4 * bkw) // (16 * Cg)
-    prebanded = m == 1
-    if prebanded:
+    band_scratch = k_steps == 1
+    prebanded = m == 1 and not band_scratch
+    scratch = [pltpu.VMEM((Cg * m, bn), jnp.float32)]
+    if band_scratch:
+        xr = x.reshape(m, kw, 4, 2)
+        xp = xr.transpose(3, 0, 1, 2).reshape(2, m, kw * 4)
+        x_spec = pl.BlockSpec((2, m, 4 * bkw), lambda i, j, kk, l: (0, 0, kk))
+        scratch.append(pltpu.VMEM((2, cpt * Cg * m, 16 * Cg), x.dtype))
+    elif prebanded:
         xp = _prep_pairs_diag(x, kw, Cg, x.dtype)
         x_spec = pl.BlockSpec((2, cpt * Cg, 16 * Cg),
                               lambda i, j, kk, l: (0, kk, 0))
@@ -997,7 +1060,8 @@ def _dequant_matmul_gp_stacked_2d(
         zero = scale
     kernel = functools.partial(
         _kernel_gp_stacked, spec=spec, Cg=Cg, cpt=cpt, M=m, k_steps=k_steps,
-        prebanded=prebanded, out_dtype=out_dtype, interpret=interpret,
+        prebanded=prebanded, band_scratch=band_scratch, out_dtype=out_dtype,
+        interpret=interpret,
     )
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1009,14 +1073,18 @@ def _dequant_matmul_gp_stacked_2d(
             pl.BlockSpec((1, Gt, bn), lambda i, j, kk, l: (l[0], kk, j)),
         ],
         out_specs=pl.BlockSpec((m, bn), lambda i, j, kk, l: (0, j)),
-        scratch_shapes=[pltpu.VMEM((Cg * m, bn), jnp.float32)],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=gs,
         out_shape=jax.ShapeDtypeStruct((m, n_stored), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=(
+                "parallel",
+                "arbitrary" if band_scratch else "parallel",
+                "arbitrary",
+            ),
         ),
         interpret=interpret,
     )(layer, xp, data, scale, zero)
