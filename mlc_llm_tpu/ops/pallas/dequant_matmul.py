@@ -35,6 +35,14 @@ from ...quant.spec import QuantSpec
 
 Array = jax.Array
 
+# default-on: the m=1 gp kernels take x as u32 lane-pair words and
+# deinterleave even/odd elements in-kernel via a sublane-expanding
+# bitcast (band_scratch mode only). Measured on-chip: identical kernel
+# time, −0.13 ms/step of XLA reshape glue at 7B b1. MLC_GP_RAW_X=0
+# restores the XLA-side deinterleave.
+import os as _os
+GP_RAW_X = _os.environ.get("MLC_GP_RAW_X", "1") != "0"
+
 # optional autotuned block table (written by mlc_llm_tpu.tune)
 _TUNED = None
 
@@ -825,15 +833,47 @@ def _gp_body(xp, w2d, s2d, z2d, acc, *, spec: QuantSpec, Cg: int,
     return acc
 
 
-def _band_store(xp_ref, xd_ref, *, Cg: int, cpt: int, M: int):
-    """Band the [2, M, 4*KW] plane activations into the block-diagonal
-    scratch layout [2, cpt*Cg*M, 16*Cg] (rows Cg-major per chunk)."""
+def _u32_halves_bf16(xu: Array, interpret: bool) -> Array:
+    """u32 [M, C] -> bf16 [2M, C]: row 2m = bits 0-15 of row m (the
+    EVEN original element), row 2m+1 = bits 16-31 (the ODD element) —
+    little-endian sublane expansion, same convention as
+    _nibble_planes."""
+    if interpret:
+        lo = jax.lax.bitcast_convert_type(
+            (xu & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.bfloat16)
+        hi = jax.lax.bitcast_convert_type(
+            (xu >> 16).astype(jnp.uint16), jnp.bfloat16)
+        m, c = xu.shape
+        return jnp.stack([lo, hi], axis=1).reshape(2 * m, c)
+    return pltpu.bitcast(xu, jnp.bfloat16)
+
+
+def _band_store(xp_ref, xd_ref, *, Cg: int, cpt: int, M: int,
+                raw: bool = False, interpret: bool = False):
+    """Band the plane activations into the block-diagonal scratch
+    layout [2, cpt*Cg*M, 16*Cg] (rows Cg-major per chunk).
+
+    raw=False: xp_ref is the XLA-deinterleaved [2, M, 4*KW] planes.
+    raw=True (M==1 only): xp_ref is the activation viewed as u32 lane
+    pairs [1, K/2] (a FREE XLA bitcast — adjacent bf16 lanes share one
+    word). The even/odd element split (plane p = x[2j+p], forced by the
+    weight u32->i8 byte layout) falls out of the sublane-expanding
+    bitcast here — deleting the 4-per-layer XLA reshape/transpose
+    chains (~0.4 ms/step at 7B). Mosaic cannot do stride-2 lane slices
+    ('extract_strided_slice strides confined to [1,2)'), so the bitcast
+    IS the deinterleave."""
     band = _band_mask(Cg, 16, xd_ref.dtype)
     cols = 16 * Cg
     rpc = Cg * M
     for c in range(cpt):
+        if raw:
+            xc = xp_ref[:, c * cols:(c + 1) * cols]  # [1, 16Cg] u32
+            halves = _u32_halves_bf16(xc, interpret)  # [2, 16Cg]
         for p in range(2):
-            xs = xp_ref[p, :, c * cols:(c + 1) * cols]  # [M, 16Cg]
+            if raw:
+                xs = halves[p:p + 1, :]  # [1, 16Cg]
+            else:
+                xs = xp_ref[p, :, c * cols:(c + 1) * cols]  # [M, 16Cg]
             xd_ref[p, c * rpc:(c + 1) * rpc, :] = (
                 band[:, None, :] * xs[None, :, :]
             ).reshape(rpc, cols)
@@ -841,7 +881,7 @@ def _band_store(xp_ref, xd_ref, *, Cg: int, cpt: int, M: int):
 
 def _kernel_gp(xp_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *scratch,
                spec: QuantSpec, Cg: int, cpt: int, M: int, k_steps: int,
-               prebanded: bool, band_scratch: bool, out_dtype,
+               prebanded: bool, band_scratch: bool, raw_x: bool, out_dtype,
                interpret: bool):
     kk = pl.program_id(2)
 
@@ -858,7 +898,8 @@ def _kernel_gp(xp_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *scratch,
 
         @pl.when(pl.program_id(1) == 0)
         def _():
-            _band_store(xp_ref, xd_ref, Cg=Cg, cpt=cpt, M=M)
+            _band_store(xp_ref, xd_ref, Cg=Cg, cpt=cpt, M=M, raw=raw_x,
+                        interpret=interpret)
 
         x_in = xd_ref[:]
         banded = True
@@ -880,7 +921,8 @@ def _kernel_gp(xp_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *scratch,
 def _kernel_gp_stacked(l_ref, xp_ref, w_ref, s_ref, z_ref, o_ref,
                        acc_ref, *scratch, spec: QuantSpec, Cg: int, cpt: int,
                        M: int, k_steps: int, prebanded: bool,
-                       band_scratch: bool, out_dtype, interpret: bool):
+                       band_scratch: bool, raw_x: bool, out_dtype,
+                       interpret: bool):
     """Stacked variant: weight/scale blocks of layer l_ref[0] are DMA'd
     straight from the [L, ...] resting buffers via scalar-prefetch
     index maps (same trick as _kernel_pairs_stacked)."""
@@ -895,7 +937,8 @@ def _kernel_gp_stacked(l_ref, xp_ref, w_ref, s_ref, z_ref, o_ref,
 
         @pl.when(pl.program_id(1) == 0)
         def _():
-            _band_store(xp_ref, xd_ref, Cg=Cg, cpt=cpt, M=M)
+            _band_store(xp_ref, xd_ref, Cg=Cg, cpt=cpt, M=M, raw=raw_x,
+                        interpret=interpret)
 
         x_in = xd_ref[:]
         banded = True
@@ -959,8 +1002,19 @@ def _dequant_matmul_gp_2d(
     cpt = (4 * bkw) // (16 * Cg)
     band_scratch = k_steps == 1
     prebanded = m == 1 and not band_scratch
+    raw_x = (band_scratch and GP_RAW_X and m == 1
+             and x.dtype == jnp.bfloat16)
     scratch = [pltpu.VMEM((Cg * m, bn), jnp.float32)]
-    if band_scratch:
+    if raw_x:
+        # free bitcast: adjacent bf16 lane pairs -> one u32 word; the
+        # kernel's sublane-expanding bitcast recovers the even/odd
+        # planes with no XLA transpose chain
+        xp = jax.lax.bitcast_convert_type(
+            x.reshape(m, k_stored // 2, 2), jnp.uint32)
+        x_spec = pl.BlockSpec(
+            (m, 4 * bkw), lambda i, j, kk: (0, kk))
+        scratch.append(pltpu.VMEM((2, cpt * Cg * m, 16 * Cg), x.dtype))
+    elif band_scratch:
         xr = x.reshape(m, kw, 4, 2)
         xp = xr.transpose(3, 0, 1, 2).reshape(2, m, kw * 4)
         x_spec = pl.BlockSpec((2, m, 4 * bkw), lambda i, j, kk: (0, 0, kk))
@@ -978,8 +1032,8 @@ def _dequant_matmul_gp_2d(
         zero = scale
     kernel = functools.partial(
         _kernel_gp, spec=spec, Cg=Cg, cpt=cpt, M=m, k_steps=k_steps,
-        prebanded=prebanded, band_scratch=band_scratch, out_dtype=out_dtype,
-        interpret=interpret,
+        prebanded=prebanded, band_scratch=band_scratch, raw_x=raw_x,
+        out_dtype=out_dtype, interpret=interpret,
     )
     out = pl.pallas_call(
         kernel,
@@ -1041,8 +1095,19 @@ def _dequant_matmul_gp_stacked_2d(
     cpt = (4 * bkw) // (16 * Cg)
     band_scratch = k_steps == 1
     prebanded = m == 1 and not band_scratch
+    raw_x = (band_scratch and GP_RAW_X and m == 1
+             and x.dtype == jnp.bfloat16)
     scratch = [pltpu.VMEM((Cg * m, bn), jnp.float32)]
-    if band_scratch:
+    if raw_x:
+        # free bitcast: adjacent bf16 lane pairs -> one u32 word; the
+        # kernel's sublane-expanding bitcast recovers the even/odd
+        # planes with no XLA transpose chain
+        xp = jax.lax.bitcast_convert_type(
+            x.reshape(m, k_stored // 2, 2), jnp.uint32)
+        x_spec = pl.BlockSpec(
+            (m, 4 * bkw), lambda i, j, kk, l: (0, kk))
+        scratch.append(pltpu.VMEM((2, cpt * Cg * m, 16 * Cg), x.dtype))
+    elif band_scratch:
         xr = x.reshape(m, kw, 4, 2)
         xp = xr.transpose(3, 0, 1, 2).reshape(2, m, kw * 4)
         x_spec = pl.BlockSpec((2, m, 4 * bkw), lambda i, j, kk, l: (0, 0, kk))
@@ -1060,8 +1125,8 @@ def _dequant_matmul_gp_stacked_2d(
         zero = scale
     kernel = functools.partial(
         _kernel_gp_stacked, spec=spec, Cg=Cg, cpt=cpt, M=m, k_steps=k_steps,
-        prebanded=prebanded, band_scratch=band_scratch, out_dtype=out_dtype,
-        interpret=interpret,
+        prebanded=prebanded, band_scratch=band_scratch, raw_x=raw_x,
+        out_dtype=out_dtype, interpret=interpret,
     )
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -62,17 +62,22 @@ def _bench_variant(qt, m: int, bkw: int, bn: int, steps=(16, 112)) -> float:
         # occasionally go NEGATIVE under interference; take the best of 3
         # repeats and reject non-positive deltas
         best = float("inf")
+        long_avg = float("inf")
         for _ in range(3):
             ts = {}
             for s in steps:
                 t0 = time.perf_counter()
                 float(jnp.asarray(loop(x0, s)).reshape(-1)[0])
                 ts[s] = time.perf_counter() - t0
+            long_avg = min(long_avg, ts[steps[1]] / steps[1])
             d = (ts[steps[1]] - ts[steps[0]]) / (steps[1] - steps[0])
             if d > 0:
                 best = min(best, d)
         if best == float("inf"):
-            raise RuntimeError("unstable timing (all deltas non-positive)")
+            # noise swamped the subtraction (tiny shapes / loaded CPU):
+            # rank by the long-run average instead — an upper bound,
+            # consistent across candidates of the same shape
+            return long_avg
         return best
     finally:
         dm._pick_blocks = orig
