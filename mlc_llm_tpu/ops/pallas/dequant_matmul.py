@@ -398,6 +398,14 @@ def _kernel_gp3_stacked(l_ref, xd_ref, w_ref, s_ref, o_ref, acc_ref, *,
         o_ref[:] = jnp.sum(a.reshape(Cg, M, a.shape[-1]), axis=0).astype(out_dtype)
 
 
+def _gp3_bn(m: int, kw16: int, n: int) -> int:
+    """n-tile width for the gp3 kernel: tuned table else 512."""
+    tuned = _tuned_table().get(f"gp3:{m}:{kw16}:{n}")
+    if tuned:
+        return tuned[1]
+    return _largest_divisor(n, (512, 384, 256, 128)) or 128
+
+
 @functools.partial(
     jax.jit, static_argnames=("spec", "shape", "out_dtype", "interpret", "stacked")
 )
@@ -420,7 +428,7 @@ def _dequant_matmul_gp3_2d(
     Cg = 16
     cptotal = G // Cg
 
-    bn = _largest_divisor(n_stored, (512, 384, 256, 128)) or 128
+    bn = _gp3_bn(m, kw16, n_stored)
     xp = _prep_gp3_planes(x, G)
 
     kernel_fn = _kernel_gp3_stacked if stacked else _kernel_gp3

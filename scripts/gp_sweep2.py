@@ -37,8 +37,11 @@ def kernel_us(qt, m, bn, steps, tag):
     k = qt.shape[0]
 
     orig = dm._gp_blocks
+    orig3 = dm._gp3_bn
     dm._gp_blocks = lambda m_, kw_, n_: (kw_, bn)
+    dm._gp3_bn = lambda m_, kw_, n_: bn
     dm._dequant_matmul_gp_stacked_2d.clear_cache()
+    dm._dequant_matmul_gp3_2d.clear_cache()
     try:
         # qt as ARGUMENT, not closure: closed-over arrays become HLO
         # constants (tunnel remote-compile 413s on big bodies; constants
@@ -67,10 +70,12 @@ def kernel_us(qt, m, bn, steps, tag):
         for e in ev:
             if e.get("ph") == "X" and e.get("pid") in pids:
                 tot[e["name"].split(".")[0]] += e["dur"]
-        kern = sum(v for n, v in tot.items() if "gp_stacked" in n)
+        kern = sum(v for n, v in tot.items()
+                   if "gp_stacked" in n or "gp3" in n)
         return kern / steps
     finally:
         dm._gp_blocks = orig
+        dm._gp3_bn = orig3
 
 
 def main():
@@ -103,7 +108,8 @@ def main():
                   f"{gbs:.0f} GB/s", flush=True)
             if us < best_us:
                 best_bn, best_us = bn, us
-        best_tbl[f"gp:{args.m}:{kw}:{ns}"] = [kw, best_bn]
+        pref = "gp3" if "q3" in args.quant else "gp"
+        best_tbl[f"{pref}:{args.m}:{kw}:{ns}"] = [kw, best_bn]
         print(f"  -> best bn={best_bn} ({best_us:.1f} us)", flush=True)
         del qt
     print(json.dumps(best_tbl), flush=True)
