@@ -403,7 +403,10 @@ def _gp3_bn(m: int, kw16: int, n: int) -> int:
     tuned = _tuned_table().get(f"gp3:{m}:{kw16}:{n}")
     if tuned:
         return tuned[1]
-    return _largest_divisor(n, (512, 384, 256, 128)) or 128
+    # on-chip sweep (scripts/gp_sweep2.py --quant q3bf16_s16): wider
+    # n-tiles win at every 7B shape (bn=1024/2048 vs 512: 530->698 GB/s
+    # on 4096x22528); prefer the widest divisor
+    return _largest_divisor(n, (1024, 512, 384, 256, 128)) or 128
 
 
 @functools.partial(
