@@ -293,8 +293,59 @@ def main():
                     cands8.append((b - a) / (n_long - n_short))
             per8 = min(cands8) if cands8 else 1e-6
             result["batch8_tok_s"] = round(8 / per8, 2)
+            del cache8
         except Exception as e:  # keep the headline metric printable
             result["batch8_error"] = f"{type(e).__name__}"
+
+    # --- paged-KV batch-8 decode (north-star "paged KV-cache") -------------
+    # same model/prompts as batch8; the paged pools + page-table flash
+    # kernel replace the slot-contiguous cache (gate: within 10%)
+    if not on_cpu:
+        try:
+            import dataclasses
+
+            from mlc_llm_tpu.models.paged_cache import (
+                PageAllocator,
+                init_paged_kv_cache,
+            )
+
+            ps = 128
+            ppsl = 512 // ps
+            paged = init_paged_kv_cache(
+                cfg, 8, num_pages=8 * ppsl + 1, page_size=ps,
+                max_pages_per_slot=ppsl,
+            )
+            alloc = PageAllocator(paged.num_pages)
+            table = np.zeros(paged.page_table.shape, np.int32)
+            for b in range(8):
+                pg = alloc.alloc(ppsl)
+                table[b, : len(pg)] = pg
+            paged = dataclasses.replace(paged, page_table=jnp.asarray(table))
+            prompts8 = jnp.tile(prompt, (8, 1))
+            lens8 = jnp.full((8,), context_len, jnp.int32)
+            logits_p, paged = prefill(params, prompts8, lens8, paged)
+            tokp = jnp.argmax(logits_p, -1).astype(jnp.int32)[:, None]
+
+            def _tp(n):
+                nonlocal paged, tokp
+                t0 = time.perf_counter()
+                out_tok, paged = decode_n(
+                    params, tokp, paged, key, n, window=window
+                )
+                _readback(out_tok)
+                return time.perf_counter() - t0
+
+            _tp(2)  # compile
+            candsp = []
+            for _ in range(2):
+                a = _tp(n_short)
+                b = _tp(n_long)
+                if b - a > 0:
+                    candsp.append((b - a) / (n_long - n_short))
+            perp = min(candsp) if candsp else 1e-6
+            result["paged_batch8_tok_s"] = round(8 / perp, 2)
+        except Exception as e:
+            result["paged_batch8_error"] = f"{type(e).__name__}: {e}"[:120]
     print(json.dumps(result))
 
 

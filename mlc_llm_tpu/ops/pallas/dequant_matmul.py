@@ -78,8 +78,11 @@ def _largest_divisor(n: int, candidates) -> Optional[int]:
     return None
 
 
-def _pick_blocks(m: int, kw: int, n: int, words_per_group: int):
+def _pick_blocks(m: int, kw: int, n: int, words_per_group: int, epw: int = 8):
     """Block sizes in (m, k-words, n) units.
+
+    epw = x-plane elements per stored word (the kernels stream epw
+    activation planes of [bm, bkw] alongside each weight block).
 
     Mosaic requires each block's last dim to be 128-divisible (or the
     full axis) and the second-to-last 8-divisible (or full). bkw is the
@@ -105,9 +108,27 @@ def _pick_blocks(m: int, kw: int, n: int, words_per_group: int):
     # (2048) and a column-tiled 3-D layout were both tried and REGRESSED
     # (Mosaic pipelining/VMEM effects dominate the DMA-stride theory).
     bn = _largest_divisor(n, (512, 384, 256, 128)) or 128
-    # VMEM guard for the double-buffered tiles
-    while bkw * bn * 4 * 2 > 6 * 1024 * 1024 and bkw > 256:
-        bkw //= 2
+
+    # VMEM guard: the scoped limit is 16 MB and every streamed block is
+    # double-buffered — w u32 block, epw x-planes (the killer at
+    # prefill m with q3/u32's epw=10), accumulator + out. Shrink bkw
+    # first (keeping group alignment and k divisibility), then bm.
+    def _vmem(bm_, bkw_):
+        return (
+            2 * bkw_ * bn * 4            # w block
+            + 2 * epw * bm_ * bkw_ * 2   # x planes (compute dtype)
+            + bm_ * bn * 4               # f32 accumulator scratch
+            + 2 * bm_ * bn * 2           # out block
+        )
+
+    while _vmem(bm, bkw) > 12 * 1024 * 1024:
+        h = bkw // 2
+        if bkw > 256 and kw % h == 0 and h % words_per_group == 0:
+            bkw = h
+        elif bm > 16:
+            bm //= 2
+        else:
+            break
     return bm, bkw, bn
 
 
@@ -562,7 +583,7 @@ def _dequant_matmul_stacked_generic_2d(
     if x.shape[1] != k_stored:
         x = jnp.pad(x, ((0, 0), (0, k_stored - x.shape[1])))
 
-    bm, bkw, bn = _pick_blocks(m, kw, n_stored, wpg)
+    bm, bkw, bn = _pick_blocks(m, kw, n_stored, wpg, epw=epw)
     x_t = x.reshape(m, kw, epw).transpose(2, 0, 1)
     m_pad = -(-m // bm) * bm
     if m_pad != m:
@@ -634,7 +655,7 @@ def _dequant_matmul_2d(
     if x.shape[1] != k_stored:
         x = jnp.pad(x, ((0, 0), (0, k_stored - x.shape[1])))
 
-    bm, bkw, bn = _pick_blocks(m, kw, n_stored, wpg)
+    bm, bkw, bn = _pick_blocks(m, kw, n_stored, wpg, epw=epw)
 
     if spec.mode == "int4" and spec.storage == "u32":
         # fast path: i8 nibble pairs (see _nibble_planes)
@@ -1236,7 +1257,8 @@ def _dequant_matmul_stacked_2d(
     xlo = xr[..., 0].reshape(m, kw * 4)
     xhi = xr[..., 1].reshape(m, kw * 4)
 
-    bm, bkw, bn = _pick_blocks(m, kw, n_stored, wpg)
+    bm, bkw, bn = _pick_blocks(m, kw, n_stored, wpg,
+                               epw=spec.elems_per_word)
     m_pad = -(-m // bm) * bm
     if m_pad != m:
         xlo = jnp.pad(xlo, ((0, m_pad - m), (0, 0)))
