@@ -286,8 +286,11 @@ class InferenceEngine:
             keep[list(slots)] = False
         self.cache = self._reset_lengths(self.cache, jnp.asarray(keep))
         if self.allocator is not None:
-            for s in np.nonzero(~keep)[0]:
-                self.free_slot_pages(int(s))
+            freed = [int(s) for s in np.nonzero(~keep)[0]]
+            for s in freed:
+                self.free_slot_pages(s, push=False)
+            if freed:
+                self._push_table()
 
     # ----------------------------------------------------- paged-KV plumbing
     def pages_needed(self, slot: int, total_tokens: int) -> int:
@@ -295,10 +298,20 @@ class InferenceEngine:
         want = -(-total_tokens // self.page_size)
         return max(0, want - len(self._slot_pages[slot]))
 
-    def assign_pages(self, slot: int, n_new: int) -> None:
+    def _push_table(self) -> None:
+        """Upload the host page table and rebuild the cache pytree —
+        once per batch of table edits, not once per slot."""
+        import dataclasses as _dc
+
+        self.cache = _dc.replace(
+            self.cache, page_table=jnp.asarray(self._table_np)
+        )
+
+    def assign_pages(self, slot: int, n_new: int, push: bool = True) -> None:
         """Allocate n_new pages to slot and push the updated page table
         to the device (raises MemoryError when the pool is exhausted —
-        the scheduler uses can_alloc for admission backpressure)."""
+        the scheduler uses can_alloc for admission backpressure).
+        push=False defers the device upload to a later _push_table()."""
         if n_new <= 0:
             return
         pages = self.allocator.alloc(n_new)
@@ -306,24 +319,18 @@ class InferenceEngine:
         row = self._slot_pages[slot]
         self._table_np[slot, :] = 0
         self._table_np[slot, : len(row)] = row
-        import dataclasses as _dc
+        if push:
+            self._push_table()
 
-        self.cache = _dc.replace(
-            self.cache, page_table=jnp.asarray(self._table_np)
-        )
-
-    def free_slot_pages(self, slot: int) -> None:
+    def free_slot_pages(self, slot: int, push: bool = True) -> None:
         pages = self._slot_pages.get(slot)
         if not pages:
             return
         self.allocator.free(pages)
         self._slot_pages[slot] = []
         self._table_np[slot, :] = 0
-        import dataclasses as _dc
-
-        self.cache = _dc.replace(
-            self.cache, page_table=jnp.asarray(self._table_np)
-        )
+        if push:
+            self._push_table()
 
     # ------------------------------------------------------------- prefill/gen
     def prefill(
@@ -348,7 +355,11 @@ class InferenceEngine:
         if self.allocator is not None:
             for i, p in enumerate(prompts):
                 total = int(self.cache.lengths[i]) + len(p) + reserve_tokens + 1
-                self.assign_pages(i, self.pages_needed(i, min(total, self.max_seq_len)))
+                self.assign_pages(
+                    i, self.pages_needed(i, min(total, self.max_seq_len)),
+                    push=False,
+                )
+            self._push_table()  # one upload for the whole batch
         toks = np.zeros((B, bucket), np.int32)
         seq_lens = np.zeros((B,), np.int32)
         for i, p in enumerate(prompts):

@@ -162,8 +162,13 @@ class ContinuousBatchingScheduler:
             elif free:
                 slot = free.popleft()
             else:
+                # no free slot for THIS (transient) request — defer it
+                # but keep scanning: a pinned session request queued
+                # behind it may target an idle reserved slot, and a
+                # `break` here would starve it forever when every slot
+                # is session-reserved
                 deferred.append(req)
-                break
+                continue
             if not self._admit_one(req, slot):
                 # paged-KV backpressure: not enough free pages yet
                 deferred.append(req)

@@ -189,11 +189,15 @@ def write_tokens_paged_k(pages: Array, new: Array, l: Array, table: Array,
                 pages, rows[b], (0, l, pid, pos % ps, 0)
             )
         return pages
-    nchunks = S // ps + 1
+    # ceil(S/ps)+1 pages can be touched by an unaligned append (an
+    # S//ps+1 count dropped the tail tokens when off0 + S crossed the
+    # last counted page boundary); extra chunks are fully masked
+    nchunks = -(-S // ps) + 1
     lane = jnp.arange(ps, dtype=jnp.int32)
     for b in range(B):
         sb = start[b]
         off0 = sb % ps
+        cap = table.shape[1] * ps
         # [H, S, D] -> [G, S, hb*D]; front/back zero-pad so every
         # chunk's dynamic_slice stays in range (no XLA offset clamping,
         # which would shift values)
@@ -211,7 +215,10 @@ def write_tokens_paged_k(pages: Array, new: Array, l: Array, table: Array,
                 pages, (0, l, pid, 0, 0), (G, 1, 1, ps, hbD)
             )[:, 0, 0]
             posv = pi * ps + lane
-            keep = (posv >= sb) & (posv < sb + S)
+            # also bound by table capacity: when a padded bucket
+            # overruns the slot's pages, pi clamps to the LAST page
+            # and unmasked pad rows would destroy its valid KV
+            keep = (posv >= sb) & (posv < sb + S) & (posv < cap)
             upd = jnp.where(keep[None, :, None], chunk, old)
             pages = jax.lax.dynamic_update_slice(
                 pages, upd[:, None, None], (0, l, pid, 0, 0)
@@ -243,11 +250,15 @@ def write_scales_paged_k(scales: Array, new: Array, l: Array, table: Array,
                 scales, cols[b], (0, l, pid, 0, pos % ps)
             )
         return scales
-    nchunks = S // ps + 1
+    # ceil(S/ps)+1 pages can be touched by an unaligned append (an
+    # S//ps+1 count dropped the tail tokens when off0 + S crossed the
+    # last counted page boundary); extra chunks are fully masked
+    nchunks = -(-S // ps) + 1
     lane = jnp.arange(ps, dtype=jnp.int32)
     for b in range(B):
         sb = start[b]
         off0 = sb % ps
+        cap = table.shape[1] * ps
         rows = vals[b].reshape(G, hb, S)
         newp = jnp.pad(rows, ((0, 0), (0, 0), (ps, ps)))
         for i in range(nchunks):
@@ -260,7 +271,10 @@ def write_scales_paged_k(scales: Array, new: Array, l: Array, table: Array,
                 scales, (0, l, pid, 0, 0), (G, 1, 1, hb, ps)
             )[:, 0, 0]
             posv = pi * ps + lane
-            keep = (posv >= sb) & (posv < sb + S)
+            # also bound by table capacity: when a padded bucket
+            # overruns the slot's pages, pi clamps to the LAST page
+            # and unmasked pad rows would destroy its valid KV
+            keep = (posv >= sb) & (posv < sb + S) & (posv < cap)
             upd = jnp.where(keep[None, None, :], chunk, old)
             scales = jax.lax.dynamic_update_slice(
                 scales, upd[:, None, None], (0, l, pid, 0, 0)
@@ -284,11 +298,15 @@ def write_scales_paged_v(scales: Array, new: Array, l: Array, table: Array,
                 scales, rows[b], (0, l, pid, pos % ps, 0)
             )
         return scales
-    nchunks = S // ps + 1
+    # ceil(S/ps)+1 pages can be touched by an unaligned append (an
+    # S//ps+1 count dropped the tail tokens when off0 + S crossed the
+    # last counted page boundary); extra chunks are fully masked
+    nchunks = -(-S // ps) + 1
     lane = jnp.arange(ps, dtype=jnp.int32)
     for b in range(B):
         sb = start[b]
         off0 = sb % ps
+        cap = table.shape[1] * ps
         rows = vals[b].reshape(G, hb, S).transpose(0, 2, 1)  # [G, S, hb]
         newp = jnp.pad(rows, ((0, 0), (ps, ps), (0, 0)))
         for i in range(nchunks):
@@ -301,7 +319,10 @@ def write_scales_paged_v(scales: Array, new: Array, l: Array, table: Array,
                 scales, (0, l, pid, 0, 0), (G, 1, 1, ps, hb)
             )[:, 0, 0]
             posv = pi * ps + lane
-            keep = (posv >= sb) & (posv < sb + S)
+            # also bound by table capacity: when a padded bucket
+            # overruns the slot's pages, pi clamps to the LAST page
+            # and unmasked pad rows would destroy its valid KV
+            keep = (posv >= sb) & (posv < sb + S) & (posv < cap)
             upd = jnp.where(keep[None, :, None], chunk, old)
             scales = jax.lax.dynamic_update_slice(
                 scales, upd[:, None, None], (0, l, pid, 0, 0)

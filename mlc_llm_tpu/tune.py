@@ -51,9 +51,12 @@ def _bench_variant(qt, m: int, bkw: int, bn: int, steps=(16, 112)) -> float:
     # the first one's compilation
     orig = dm._pick_blocks
     orig_gp = dm._gp_blocks
+    orig_gp3 = dm._gp3_bn
     dm._pick_blocks = lambda *a, **kw: (orig(*a, **kw)[0], bkw, bn)
     dm._gp_blocks = lambda m_, kw_, n_: (bkw, bn)
-    for fn in (dm._dequant_matmul_2d, dm._dequant_matmul_gp_2d):
+    dm._gp3_bn = lambda m_, kw_, n_: bn
+    for fn in (dm._dequant_matmul_2d, dm._dequant_matmul_gp_2d,
+               dm._dequant_matmul_gp3_2d):
         fn.clear_cache()
     try:
         x0 = jnp.ones((m, k), jnp.bfloat16) * 0.01
@@ -82,6 +85,7 @@ def _bench_variant(qt, m: int, bkw: int, bn: int, steps=(16, 112)) -> float:
     finally:
         dm._pick_blocks = orig
         dm._gp_blocks = orig_gp
+        dm._gp3_bn = orig_gp3
 
 
 def tune_shapes(shapes, quant="q4bf16", ms=(1,), verbose=True):
@@ -89,7 +93,10 @@ def tune_shapes(shapes, quant="q4bf16", ms=(1,), verbose=True):
     from .ops.pallas.dequant_matmul import _largest_divisor, _pick_blocks
     from .quant import quantize, resolve_spec
 
-    from .ops.pallas.dequant_matmul import gp_matmul_supported
+    from .ops.pallas.dequant_matmul import (
+        gp3_matmul_supported,
+        gp_matmul_supported,
+    )
 
     spec = resolve_spec(quant)
     rng = np.random.default_rng(0)
@@ -117,6 +124,13 @@ def tune_shapes(shapes, quant="q4bf16", ms=(1,), verbose=True):
                 mcands = [(kw, bn) for bn in (1024, 512, 384, 256)
                           if n_stored % bn == 0]
                 key = f"gp:{m}:{kw}:{n_stored}"
+            elif gp3_matmul_supported(spec, qt.scale.shape[0], m):
+                # gp3 (int3/u16): bn-only sweep under its own key (the
+                # runtime reads 'gp3:...'; plain keys would be dead).
+                # On-chip sweep found wide tiles win (docs/PERF.md)
+                mcands = [(kw, bn) for bn in (2048, 1024, 512, 256)
+                          if n_stored % bn == 0]
+                key = f"gp3:{m}:{kw}:{n_stored}"
             else:
                 mcands = cands
                 key = f"{m}:{kw}:{n_stored}"

@@ -292,3 +292,81 @@ def test_paged_forward_flash_path_matches(setup):
         tol = 2e-4 if dtype == jnp.float32 else 2e-2
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=tol, atol=tol)
+
+
+def test_unaligned_append_crosses_page_boundary():
+    """An append whose offset+length crosses the next page boundary must
+    write every token: the chunk count is ceil(S/ps)+1, not S//ps+1
+    (the old count silently dropped the tail tokens — caught in review,
+    reproduced at ps=8, start=6, S=4: positions 8..9 were never
+    written)."""
+    from mlc_llm_tpu.models.paged_cache import (
+        gather_pages_k,
+        write_tokens_paged_k,
+    )
+
+    ps, D, P = 8, 4, 4
+    pages = jnp.zeros((1, 1, P, ps, D), jnp.float32)  # G=1, L=1, hb=1
+    table = jnp.asarray([[0, 1, 2, 3]], jnp.int32)
+    new = jnp.arange(1 * 1 * 4 * D, dtype=jnp.float32).reshape(1, 1, 4, D) + 1.0
+    pages = write_tokens_paged_k(pages, new, jnp.int32(0), table,
+                                 jnp.asarray([6], jnp.int32))
+    got = gather_pages_k(pages, jnp.int32(0), table, 4, D)  # [1, 1, 32, D]
+    np.testing.assert_array_equal(np.asarray(got[0, 0, 6:10]),
+                                  np.asarray(new[0, 0]))
+    # nothing outside [6, 10) was touched
+    assert float(jnp.abs(got[0, 0, :6]).sum()) == 0.0
+    assert float(jnp.abs(got[0, 0, 10:]).sum()) == 0.0
+
+
+def test_padded_append_overrun_does_not_clobber_last_page():
+    """When a padded prefill bucket overruns the slot's page capacity,
+    the out-of-range chunk clamps to the LAST page; its rows must be
+    masked out or they overwrite that page's valid KV (caught in
+    review: posv < capacity was missing from the keep mask)."""
+    from mlc_llm_tpu.models.paged_cache import (
+        gather_pages_k,
+        write_tokens_paged_k,
+    )
+
+    ps, D, P = 8, 4, 8
+    cap = P * ps  # 64 positions
+    pages = jnp.zeros((1, 1, P, ps, D), jnp.float32)
+    table = jnp.asarray([np.arange(P, dtype=np.int32)])
+    # append S=32 at start=40: positions 40..71, of which 64..71 overflow
+    S = 32
+    new = (jnp.arange(S * D, dtype=jnp.float32).reshape(1, 1, S, D) + 1.0)
+    pages = write_tokens_paged_k(pages, new, jnp.int32(0), table,
+                                 jnp.asarray([40], jnp.int32))
+    got = gather_pages_k(pages, jnp.int32(0), table, P, D)[0, 0]  # [64, D]
+    # in-capacity positions 40..63 hold new rows 0..23 — in particular
+    # the last page (56..63) was NOT clobbered by the clamped overflow
+    # chunk (which would have left new rows 24..31 there)
+    np.testing.assert_array_equal(np.asarray(got[40:64]),
+                                  np.asarray(new[0, 0, :24]))
+    assert float(jnp.abs(got[:40]).sum()) == 0.0
+
+
+def test_scale_append_crosses_page_boundary():
+    """Same two fixes for the int8-KV scale planes (both layouts)."""
+    from mlc_llm_tpu.models.paged_cache import (
+        write_scales_paged_k,
+        write_scales_paged_v,
+    )
+
+    ps, P = 8, 4
+    table = jnp.asarray([[0, 1, 2, 3]], jnp.int32)
+    new = jnp.arange(4, dtype=jnp.float32).reshape(1, 1, 4) + 1.0
+    sk = jnp.zeros((1, 1, P, 1, ps), jnp.float32)   # [G,L,P,hb,ps]
+    sk = write_scales_paged_k(sk, new, jnp.int32(0), table,
+                              jnp.asarray([6], jnp.int32))
+    flat_k = np.asarray(sk[0, 0, :, 0, :]).reshape(-1)  # page-major positions
+    np.testing.assert_array_equal(flat_k[6:10], np.asarray(new[0, 0]))
+    assert np.abs(flat_k[10:]).sum() == 0.0
+
+    sv = jnp.zeros((1, 1, P, ps, 1), jnp.float32)   # [G,L,P,ps,hb]
+    sv = write_scales_paged_v(sv, new, jnp.int32(0), table,
+                              jnp.asarray([6], jnp.int32))
+    flat_v = np.asarray(sv[0, 0, :, :, 0]).reshape(-1)
+    np.testing.assert_array_equal(flat_v[6:10], np.asarray(new[0, 0]))
+    assert np.abs(flat_v[10:]).sum() == 0.0

@@ -182,3 +182,32 @@ def test_sessions_share_one_scheduler(engine):
     s1.close()
     s2.close()
     solo.close()
+
+
+def test_pinned_request_not_starved_by_unadmittable_transient():
+    """A transient request with no free slot must not block a pinned
+    session request queued behind it: with every slot session-reserved,
+    the old `break` in _admit left the pinned request pending forever
+    while has_work() stayed true — a permanent hang (caught in
+    review)."""
+    from mlc_llm_tpu.models import get_config, init_random_params
+
+    cfg = get_config("tiny-llama")
+    params = init_random_params(cfg, "f32", seed=0)
+    eng = InferenceEngine(cfg, params, max_batch=2, max_seq_len=64)
+    sched = ContinuousBatchingScheduler(eng)
+    s0 = sched.reserve_slot()
+    s1 = sched.reserve_slot()
+    assert {s0, s1} == set(sched.slots)
+
+    transient = sched.submit([5, 6, 7], _greedy(4))          # no slot free
+    pinned = sched.submit([8, 9], _greedy(4), pin_slot=s1)   # must run
+    # run() would spin forever on the never-admittable transient (the
+    # reservations are permanent here); drive bounded steps instead
+    for _ in range(12):
+        if pinned.done:
+            break
+        sched.step()
+    assert pinned.done and len(pinned.output) == 4
+    # the transient stays pending (still no unreserved slot), not lost
+    assert not transient.done and transient in sched.pending
