@@ -911,10 +911,22 @@ def _band_store(xp_ref, xd_ref, *, Cg: int, cpt: int, M: int,
             ).reshape(rpc, cols)
 
 
-def _kernel_gp(xp_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *scratch,
-               spec: QuantSpec, Cg: int, cpt: int, M: int, k_steps: int,
-               prebanded: bool, band_scratch: bool, raw_x: bool, out_dtype,
-               interpret: bool):
+def _kernel_gp(*refs, spec: QuantSpec, Cg: int, cpt: int, M: int,
+               k_steps: int, prebanded: bool, band_scratch: bool,
+               raw_x: bool, stacked: bool, out_dtype, interpret: bool):
+    """One (n, k) grid step of the group-partial kernel.
+
+    stacked=True prepends the scalar-prefetch layer ref, and the
+    weight/scale blocks keep a leading layer axis — they are DMA'd
+    straight from the [L, ...] resting buffers via the index maps
+    (same trick as _kernel_pairs_stacked: no per-layer weight copy).
+    """
+    if stacked:
+        _l, xp_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *scratch = refs
+        w_in, s_in, z_in = w_ref[0], s_ref[0], z_ref[0]
+    else:
+        xp_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *scratch = refs
+        w_in, s_in, z_in = w_ref[:], s_ref[:], z_ref[:]
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
@@ -939,46 +951,7 @@ def _kernel_gp(xp_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *scratch,
         x_in = xp_ref[:]
         banded = prebanded
     acc_ref[:] = _gp_body(
-        x_in, w_ref[:], s_ref[:], z_ref[:], acc_ref[:],
-        spec=spec, Cg=Cg, cpt=cpt, M=M, prebanded=banded,
-        interpret=interpret,
-    )
-
-    @pl.when(kk == k_steps - 1)
-    def _():
-        a = acc_ref[:]
-        o_ref[:] = jnp.sum(a.reshape(Cg, M, a.shape[-1]), axis=0).astype(out_dtype)
-
-
-def _kernel_gp_stacked(l_ref, xp_ref, w_ref, s_ref, z_ref, o_ref,
-                       acc_ref, *scratch, spec: QuantSpec, Cg: int, cpt: int,
-                       M: int, k_steps: int, prebanded: bool,
-                       band_scratch: bool, raw_x: bool, out_dtype,
-                       interpret: bool):
-    """Stacked variant: weight/scale blocks of layer l_ref[0] are DMA'd
-    straight from the [L, ...] resting buffers via scalar-prefetch
-    index maps (same trick as _kernel_pairs_stacked)."""
-    kk = pl.program_id(2)
-
-    @pl.when(kk == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    if band_scratch:
-        xd_ref = scratch[0]
-
-        @pl.when(pl.program_id(1) == 0)
-        def _():
-            _band_store(xp_ref, xd_ref, Cg=Cg, cpt=cpt, M=M, raw=raw_x,
-                        interpret=interpret)
-
-        x_in = xd_ref[:]
-        banded = True
-    else:
-        x_in = xp_ref[:]
-        banded = prebanded
-    acc_ref[:] = _gp_body(
-        x_in, w_ref[0], s_ref[0], z_ref[0], acc_ref[:],
+        x_in, w_in, s_in, z_in, acc_ref[:],
         spec=spec, Cg=Cg, cpt=cpt, M=M, prebanded=banded,
         interpret=interpret,
     )
@@ -1006,23 +979,26 @@ def _gp_blocks(m: int, kw: int, n: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spec", "shape", "out_dtype", "interpret")
+    jax.jit,
+    static_argnames=("spec", "shape", "out_dtype", "interpret", "stacked"),
 )
 def _dequant_matmul_gp_2d(
     x: Array,
-    data: Array,
-    scale: Array,
+    layer: Optional[Array],   # [1] int32 when stacked, else None
+    data: Array,              # [KW, N] or [L, KW, N]
+    scale: Array,             # [G, N] or [L, G, N]
     zero: Optional[Array],
     *,
     spec: QuantSpec,
     shape,
     out_dtype,
     interpret: bool,
+    stacked: bool,
 ) -> Array:
     k, n = shape
     m = x.shape[0]
-    kw, n_stored = data.shape
-    G = scale.shape[0]
+    kw, n_stored = data.shape[-2], data.shape[-1]
+    G = scale.shape[-2]
     k_stored = kw * spec.elems_per_word
     if x.shape[1] != k_stored:
         x = jnp.pad(x, ((0, 0), (0, k_stored - x.shape[1])))
@@ -1036,6 +1012,12 @@ def _dequant_matmul_gp_2d(
     prebanded = m == 1 and not band_scratch
     raw_x = (band_scratch and GP_RAW_X and m == 1
              and x.dtype == jnp.bfloat16)
+
+    # the stacked (scalar-prefetch) grid passes the layer ref as a
+    # trailing index-map argument; x/out maps never consult it
+    am = (lambda f: (lambda i, j, kk, l: f(i, j, kk))) if stacked else (
+        lambda f: f)
+
     scratch = [pltpu.VMEM((Cg * m, bn), jnp.float32)]
     if raw_x:
         # free bitcast: adjacent bf16 lane pairs -> one u32 word; the
@@ -1043,148 +1025,76 @@ def _dequant_matmul_gp_2d(
         # planes with no XLA transpose chain
         xp = jax.lax.bitcast_convert_type(
             x.reshape(m, k_stored // 2, 2), jnp.uint32)
-        x_spec = pl.BlockSpec(
-            (m, 4 * bkw), lambda i, j, kk: (0, kk))
-        scratch.append(pltpu.VMEM((2, cpt * Cg * m, 16 * Cg), x.dtype))
-    elif band_scratch:
-        xr = x.reshape(m, kw, 4, 2)
-        xp = xr.transpose(3, 0, 1, 2).reshape(2, m, kw * 4)
-        x_spec = pl.BlockSpec((2, m, 4 * bkw), lambda i, j, kk: (0, 0, kk))
+        x_spec = pl.BlockSpec((m, 4 * bkw), am(lambda i, j, kk: (0, kk)))
         scratch.append(pltpu.VMEM((2, cpt * Cg * m, 16 * Cg), x.dtype))
     elif prebanded:
         xp = _prep_pairs_diag(x, kw, Cg, x.dtype)
         x_spec = pl.BlockSpec((2, cpt * Cg, 16 * Cg),
-                              lambda i, j, kk: (0, kk, 0))
+                              am(lambda i, j, kk: (0, kk, 0)))
     else:
         xr = x.reshape(m, kw, 4, 2)
         xp = xr.transpose(3, 0, 1, 2).reshape(2, m, kw * 4)
-        x_spec = pl.BlockSpec((2, m, 4 * bkw), lambda i, j, kk: (0, 0, kk))
+        x_spec = pl.BlockSpec((2, m, 4 * bkw),
+                              am(lambda i, j, kk: (0, 0, kk)))
+        if band_scratch:
+            scratch.append(pltpu.VMEM((2, cpt * Cg * m, 16 * Cg), x.dtype))
+
+    if stacked:
+        def wb(bs):
+            return pl.BlockSpec((1,) + bs, lambda i, j, kk, l: (l[0],) + (
+                (kk, j)))
+    else:
+        def wb(bs):
+            return pl.BlockSpec(bs, lambda i, j, kk: (kk, j))
+    in_specs = [x_spec, wb((bkw, bn)), wb((Gt, bn)), wb((Gt, bn))]
+    out_spec = pl.BlockSpec((m, bn), am(lambda i, j, kk: (0, j)))
 
     if zero is None:
         zero = scale
     kernel = functools.partial(
         _kernel_gp, spec=spec, Cg=Cg, cpt=cpt, M=m, k_steps=k_steps,
         prebanded=prebanded, band_scratch=band_scratch, raw_x=raw_x,
-        out_dtype=out_dtype, interpret=interpret,
+        stacked=stacked, out_dtype=out_dtype, interpret=interpret,
     )
-    out = pl.pallas_call(
-        kernel,
-        grid=(1, n_stored // bn, k_steps),
-        in_specs=[
-            x_spec,
-            pl.BlockSpec((bkw, bn), lambda i, j, kk: (kk, j)),
-            pl.BlockSpec((Gt, bn), lambda i, j, kk: (kk, j)),
-            pl.BlockSpec((Gt, bn), lambda i, j, kk: (kk, j)),
-        ],
-        out_specs=pl.BlockSpec((m, bn), lambda i, j, kk: (0, j)),
-        out_shape=jax.ShapeDtypeStruct((m, n_stored), out_dtype),
-        scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=(
-                "parallel",
-                "arbitrary" if band_scratch else "parallel",
-                "arbitrary",
-            ),
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=(
+            "parallel",
+            "arbitrary" if band_scratch else "parallel",
+            "arbitrary",
         ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * m * k_stored * n_stored,
-            bytes_accessed=data.size * 4 + scale.size * scale.dtype.itemsize
-            + m * k_stored * 2 + m * n_stored * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(xp, data, scale, zero)
-    return out[:, :n]
-
-
-@functools.partial(
-    jax.jit, static_argnames=("spec", "shape", "out_dtype", "interpret")
-)
-def _dequant_matmul_gp_stacked_2d(
-    x: Array,
-    layer: Array,
-    data: Array,
-    scale: Array,
-    zero: Optional[Array],
-    *,
-    spec: QuantSpec,
-    shape,
-    out_dtype,
-    interpret: bool,
-) -> Array:
-    k, n = shape
-    m = x.shape[0]
-    _, kw, n_stored = data.shape
-    G = scale.shape[1]
-    k_stored = kw * spec.elems_per_word
-    if x.shape[1] != k_stored:
-        x = jnp.pad(x, ((0, 0), (0, k_stored - x.shape[1])))
-
-    bkw, bn = _gp_blocks(m, kw, n_stored)
-    k_steps = kw // bkw
-    Gt = G // k_steps
-    Cg = _gp_pick_cg(Gt, m)
-    cpt = (4 * bkw) // (16 * Cg)
-    band_scratch = k_steps == 1
-    prebanded = m == 1 and not band_scratch
-    raw_x = (band_scratch and GP_RAW_X and m == 1
-             and x.dtype == jnp.bfloat16)
-    scratch = [pltpu.VMEM((Cg * m, bn), jnp.float32)]
-    if raw_x:
-        # free bitcast: adjacent bf16 lane pairs -> one u32 word; the
-        # kernel's sublane-expanding bitcast recovers the even/odd
-        # planes with no XLA transpose chain
-        xp = jax.lax.bitcast_convert_type(
-            x.reshape(m, k_stored // 2, 2), jnp.uint32)
-        x_spec = pl.BlockSpec(
-            (m, 4 * bkw), lambda i, j, kk, l: (0, kk))
-        scratch.append(pltpu.VMEM((2, cpt * Cg * m, 16 * Cg), x.dtype))
-    elif band_scratch:
-        xr = x.reshape(m, kw, 4, 2)
-        xp = xr.transpose(3, 0, 1, 2).reshape(2, m, kw * 4)
-        x_spec = pl.BlockSpec((2, m, 4 * bkw), lambda i, j, kk, l: (0, 0, kk))
-        scratch.append(pltpu.VMEM((2, cpt * Cg * m, 16 * Cg), x.dtype))
-    elif prebanded:
-        xp = _prep_pairs_diag(x, kw, Cg, x.dtype)
-        x_spec = pl.BlockSpec((2, cpt * Cg, 16 * Cg),
-                              lambda i, j, kk, l: (0, kk, 0))
+    )
+    grid = (1, n_stored // bn, k_steps)
+    out_shape = jax.ShapeDtypeStruct((m, n_stored), out_dtype)
+    if stacked:
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            scratch_shapes=scratch,
+        )
+        out = pl.pallas_call(
+            kernel, grid_spec=gs, out_shape=out_shape,
+            compiler_params=cparams, interpret=interpret,
+        )(layer, xp, data, scale, zero)
     else:
-        xr = x.reshape(m, kw, 4, 2)
-        xp = xr.transpose(3, 0, 1, 2).reshape(2, m, kw * 4)
-        x_spec = pl.BlockSpec((2, m, 4 * bkw), lambda i, j, kk, l: (0, 0, kk))
-
-    if zero is None:
-        zero = scale
-    kernel = functools.partial(
-        _kernel_gp_stacked, spec=spec, Cg=Cg, cpt=cpt, M=m, k_steps=k_steps,
-        prebanded=prebanded, band_scratch=band_scratch, raw_x=raw_x,
-        out_dtype=out_dtype, interpret=interpret,
-    )
-    gs = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(1, n_stored // bn, k_steps),
-        in_specs=[
-            x_spec,
-            pl.BlockSpec((1, bkw, bn), lambda i, j, kk, l: (l[0], kk, j)),
-            pl.BlockSpec((1, Gt, bn), lambda i, j, kk, l: (l[0], kk, j)),
-            pl.BlockSpec((1, Gt, bn), lambda i, j, kk, l: (l[0], kk, j)),
-        ],
-        out_specs=pl.BlockSpec((m, bn), lambda i, j, kk, l: (0, j)),
-        scratch_shapes=scratch,
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=gs,
-        out_shape=jax.ShapeDtypeStruct((m, n_stored), out_dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=(
-                "parallel",
-                "arbitrary" if band_scratch else "parallel",
-                "arbitrary",
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            compiler_params=cparams,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * m * k_stored * n_stored,
+                bytes_accessed=data.size * 4
+                + scale.size * scale.dtype.itemsize
+                + m * k_stored * 2 + m * n_stored * 4,
+                transcendentals=0,
             ),
-        ),
-        interpret=interpret,
-    )(layer, xp, data, scale, zero)
+            interpret=interpret,
+        )(xp, data, scale, zero)
     return out[:, :n]
 
 
@@ -1321,10 +1231,10 @@ def dequant_matmul_stacked(
             interpret=interpret, stacked=True,
         )
     elif gp_matmul_supported(w.spec, w.scale.shape[1], m):
-        y = _dequant_matmul_gp_stacked_2d(
+        y = _dequant_matmul_gp_2d(
             x2, lidx, w.data, w.scale, w.zero,
             spec=w.spec, shape=w.shape, out_dtype=out_dtype,
-            interpret=interpret,
+            interpret=interpret, stacked=True,
         )
     elif w.spec.mode == "int4" and w.spec.storage == "u32":
         y = _dequant_matmul_stacked_2d(
@@ -1358,9 +1268,9 @@ def dequant_matmul(x: Array, w: QuantizedTensor, out_dtype=None) -> Array:
         )
     elif gp_matmul_supported(w.spec, w.scale.shape[0], m):
         y = _dequant_matmul_gp_2d(
-            x2, w.data, w.scale, w.zero,
+            x2, None, w.data, w.scale, w.zero,
             spec=w.spec, shape=w.shape, out_dtype=out_dtype,
-            interpret=interpret,
+            interpret=interpret, stacked=False,
         )
     else:
         y = _dequant_matmul_2d(

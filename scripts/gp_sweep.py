@@ -62,7 +62,7 @@ def bench(qt, m, bn, steps=(16, 144)):
 
     orig = dm._gp_blocks
     dm._gp_blocks = lambda m_, kw_, n_: (kw_, bn)
-    for fn in (dm._dequant_matmul_gp_stacked_2d,):
+    for fn in (dm._dequant_matmul_gp_2d,):
         fn.clear_cache()
     try:
         # qt must be an ARGUMENT: a closed-over array is baked into the

@@ -40,7 +40,7 @@ def kernel_us(qt, m, bn, steps, tag):
     orig3 = dm._gp3_bn
     dm._gp_blocks = lambda m_, kw_, n_: (kw_, bn)
     dm._gp3_bn = lambda m_, kw_, n_: bn
-    dm._dequant_matmul_gp_stacked_2d.clear_cache()
+    dm._dequant_matmul_gp_2d.clear_cache()
     dm._dequant_matmul_gp3_2d.clear_cache()
     try:
         # qt as ARGUMENT, not closure: closed-over arrays become HLO
@@ -71,7 +71,7 @@ def kernel_us(qt, m, bn, steps, tag):
             if e.get("ph") == "X" and e.get("pid") in pids:
                 tot[e["name"].split(".")[0]] += e["dur"]
         kern = sum(v for n, v in tot.items()
-                   if "gp_stacked" in n or "gp3" in n)
+                   if "_dequant_matmul_gp" in n)
         return kern / steps
     finally:
         dm._gp_blocks = orig
