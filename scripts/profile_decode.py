@@ -26,13 +26,15 @@ from mlc_llm_tpu.ops.sampling import sample_token
 from mlc_llm_tpu.quant.groupwise import QuantizedTensor, pad_quantized_groups
 
 BATCH = int(os.environ.get("PROF_BATCH", "1"))
+# default cache length fits b8 in the 16 GB HBM next to 4.3 GB weights
+MAXLEN = int(os.environ.get("PROF_MAXLEN", "2048" if BATCH == 1 else "512"))
 
 cfg = get_config("vicuna-v1-7b")
 params = init_random_params(cfg, "q4bf16", seed=0, fabricate=True)
 params = jax.tree.map(
     lambda x: pad_quantized_groups(x) if isinstance(x, QuantizedTensor) else x,
     params, is_leaf=lambda x: isinstance(x, QuantizedTensor))
-cache = init_kv_cache(cfg, batch=BATCH, max_len=2048)
+cache = init_kv_cache(cfg, batch=BATCH, max_len=MAXLEN)
 
 
 @partial(jax.jit, donate_argnames=("cache",), static_argnames=("window",))
