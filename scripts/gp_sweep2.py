@@ -29,6 +29,9 @@ from gp_sweep import stack_qt, L
 dm = importlib.import_module("mlc_llm_tpu.ops.pallas.dequant_matmul")
 
 SHAPES = [(4096, 22528), (4096, 12288), (11008, 4096), (4096, 4096)]
+# gpt-neox 3B (RedPajama / dolly-class) decode shapes: qkv, wo,
+# non-gated FFN in/out (gelu: F, not 2F)
+SHAPES_3B = [(2560, 7680), (2560, 10240), (10240, 2560), (2560, 2560)]
 
 
 def kernel_us(qt, m, bn, steps, tag):
@@ -84,12 +87,13 @@ def main():
     ap.add_argument("--quant", default="q4bf16")
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--bn", type=int, action="append", default=None)
+    ap.add_argument("--shapes", default="7b", choices=["7b", "3b"])
     args = ap.parse_args()
     spec = resolve_spec(args.quant)
     rng = np.random.default_rng(0)
     print(f"backend={jax.default_backend()} m={args.m}", flush=True)
     best_tbl = {}
-    for k, n in SHAPES:
+    for k, n in (SHAPES if args.shapes == "7b" else SHAPES_3B):
         qt = stack_qt(k, n, spec, rng)
         kw, ns = qt.data.shape[1], qt.data.shape[2]
         per_layer = qt.nbytes() // L
