@@ -107,9 +107,12 @@ def main():
       except Exception:
         measured_bw = None
 
-    @partial(jax.jit, static_argnames=("last_only",))
-    def prefill(params, tokens, seq_lens, cache, last_only=True):
-        return forward(params, cfg, tokens, cache, seq_lens=seq_lens, last_only=last_only)
+    @partial(jax.jit, static_argnames=("last_only", "attn_window"))
+    def prefill(params, tokens, seq_lens, cache, last_only=True,
+                attn_window=None):
+        # reset prefill: the context length is an exact static window
+        return forward(params, cfg, tokens, cache, seq_lens=seq_lens,
+                       last_only=last_only, attn_window=attn_window)
 
     @partial(jax.jit, donate_argnames=("cache",), static_argnames=("window",))
     def decode_n(params, tok, cache, key, n, window=None):
@@ -134,12 +137,14 @@ def main():
     seq_lens = jnp.full((1,), context_len, jnp.int32)
 
     # --- TTFT: prefill + first sampled token, RTT-corrected ----------------
-    logits, cache = prefill(params, prompt, seq_lens, cache)  # compile
+    logits, cache = prefill(params, prompt, seq_lens, cache,
+                            attn_window=context_len)  # compile
     tok0 = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
     _readback(tok0)
     cache = init_kv_cache(cfg, batch=1, max_len=max_len)
     t0 = time.perf_counter()
-    logits, cache = prefill(params, prompt, seq_lens, cache)
+    logits, cache = prefill(params, prompt, seq_lens, cache,
+                            attn_window=context_len)
     first = sample_token(logits, jax.random.PRNGKey(1), 0.0, 1.0, greedy=True)
     _readback(first)
     ttft_ms = (time.perf_counter() - t0 - rtt) * 1e3
@@ -155,11 +160,13 @@ def main():
                 )
                 sl = jnp.full((1,), ctx, jnp.int32)
                 c_ctx = init_kv_cache(cfg, batch=1, max_len=max_len)
-                lg, c_ctx = prefill(params, p_ctx, sl, c_ctx)  # compile
+                lg, c_ctx = prefill(params, p_ctx, sl, c_ctx,
+                                    attn_window=ctx)  # compile
                 _readback(jnp.argmax(lg, -1))
                 c_ctx = init_kv_cache(cfg, batch=1, max_len=max_len)
                 t0 = time.perf_counter()
-                lg, c_ctx = prefill(params, p_ctx, sl, c_ctx)
+                lg, c_ctx = prefill(params, p_ctx, sl, c_ctx,
+                                    attn_window=ctx)
                 f = sample_token(lg, jax.random.PRNGKey(1), 0.0, 1.0, greedy=True)
                 _readback(f)
                 ttft_buckets[ctx] = round((time.perf_counter() - t0 - rtt) * 1e3, 1)
@@ -240,7 +247,8 @@ def main():
                 params3, is_leaf=lambda x: isinstance(x, _QT),
             )
             cache3 = init_kv_cache(cfg, batch=1, max_len=512, dtype=jnp.int8)
-            logits3, cache3 = prefill(params3, prompt, seq_lens, cache3)
+            logits3, cache3 = prefill(params3, prompt, seq_lens, cache3,
+                                      attn_window=context_len)
             tok3 = jnp.argmax(logits3, -1).astype(jnp.int32)[:, None]
             def _t3(n):
                 nonlocal cache3, tok3
@@ -273,7 +281,8 @@ def main():
             cache8 = init_kv_cache(cfg, batch=8, max_len=512)
             prompts8 = jnp.tile(prompt, (8, 1))
             lens8 = jnp.full((8,), context_len, jnp.int32)
-            logits8, cache8 = prefill(params, prompts8, lens8, cache8)
+            logits8, cache8 = prefill(params, prompts8, lens8, cache8,
+                                      attn_window=context_len)
             tok8 = jnp.argmax(logits8, -1).astype(jnp.int32)[:, None]
             def _t8(n):
                 nonlocal cache8, tok8
@@ -323,7 +332,8 @@ def main():
             paged = dataclasses.replace(paged, page_table=jnp.asarray(table))
             prompts8 = jnp.tile(prompt, (8, 1))
             lens8 = jnp.full((8,), context_len, jnp.int32)
-            logits_p, paged = prefill(params, prompts8, lens8, paged)
+            logits_p, paged = prefill(params, prompts8, lens8, paged,
+                                      attn_window=context_len)
             tokp = jnp.argmax(logits_p, -1).astype(jnp.int32)[:, None]
 
             def _tp(n):

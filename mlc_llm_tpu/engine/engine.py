@@ -111,11 +111,19 @@ class InferenceEngine:
         # --- jitted programs -------------------------------------------------
         cfg_static = cfg
 
-        @partial(jax.jit, donate_argnames=("cache",), static_argnames=("last_only",))
-        def _prefill(params, tokens, seq_lens, cache, last_only=True):
+        @partial(
+            jax.jit, donate_argnames=("cache",),
+            static_argnames=("last_only", "attn_window"),
+        )
+        def _prefill(params, tokens, seq_lens, cache, last_only=True,
+                     attn_window=None):
+            # attn_window (static) bounds the cache read exactly like the
+            # decode path: a ctx-512 reset prefill scores 512 positions,
+            # not the full Smax buffer (4-16x less mask/softmax work)
             return forward(
                 params, cfg_static, tokens, cache,
                 seq_lens=seq_lens, last_only=last_only,
+                attn_window=attn_window,
             )
 
         @partial(
@@ -162,8 +170,10 @@ class InferenceEngine:
                 arr, sub, slot, axis=1
             )
 
-        @partial(jax.jit, donate_argnames=("cache",))
-        def _prefill_slot(params, tokens, seq_len, cache, slot, append=False):
+        @partial(jax.jit, donate_argnames=("cache",),
+                 static_argnames=("attn_window",))
+        def _prefill_slot(params, tokens, seq_len, cache, slot, append=False,
+                          attn_window=None):
             """Prefill ONE slot (tokens [1, S]) without touching the
             other slots' KV state — continuous-batching admission.
 
@@ -186,6 +196,7 @@ class InferenceEngine:
             logits, sub = forward(
                 params, cfg_static, tokens, sub,
                 seq_lens=seq_len[None], last_only=True,
+                attn_window=attn_window,
             )
             return logits, KVCache(
                 k=_splice_slot(cache.k, sub.k, slot),
@@ -197,8 +208,10 @@ class InferenceEngine:
                 v_scale=_splice_slot(cache.v_scale, sub.v_scale, slot),
             )
 
-        @partial(jax.jit, donate_argnames=("cache",))
-        def _prefill_slot_paged(params, tokens, seq_len, cache, slot, append=False):
+        @partial(jax.jit, donate_argnames=("cache",),
+                 static_argnames=("attn_window",))
+        def _prefill_slot_paged(params, tokens, seq_len, cache, slot,
+                                append=False, attn_window=None):
             """Paged admission prefill: the pools are shared, but writes
             only touch the slot's own pages (via its page-table row), so
             other slots' KV state is untouched by construction."""
@@ -222,6 +235,7 @@ class InferenceEngine:
             logits, sub = forward(
                 params, cfg_static, tokens, sub,
                 seq_lens=seq_len[None], last_only=True,
+                attn_window=attn_window,
             )
             return logits, PagedKVCache(
                 k_pages=sub.k_pages,
@@ -365,9 +379,14 @@ class InferenceEngine:
         for i, p in enumerate(prompts):
             toks[i, : len(p)] = p
             seq_lens[i] = len(p)
+        # reset prefill starts at position 0, so the bucket is an exact
+        # static attention window; append prefill would need device
+        # lengths (a host sync) — leave it at the full buffer there
+        window = self.decode_window(bucket) if reset else None
         t0 = time.perf_counter()
         logits, self.cache = self._prefill(
-            self.params, jnp.asarray(toks), jnp.asarray(seq_lens), self.cache
+            self.params, jnp.asarray(toks), jnp.asarray(seq_lens), self.cache,
+            attn_window=window,
         )
         logits.block_until_ready()
         self.stats.prefill_time += time.perf_counter() - t0

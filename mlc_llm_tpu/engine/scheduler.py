@@ -213,6 +213,11 @@ class ContinuousBatchingScheduler:
             eng.cache,
             jnp.asarray(slot, jnp.int32),
             jnp.asarray(req.append),
+            # start_len is host-known at admission, so the attention
+            # window is a static bucket over history + this prompt
+            attn_window=eng.decode_window(
+                min(req.start_len + bucket, eng.max_seq_len)
+            ),
         )
         eng.stats.prefill_time += time.perf_counter() - t0
         eng.stats.prefill_tokens += len(req.prompt)
