@@ -162,3 +162,32 @@ def test_stacked_kernel_matches_per_layer(preset, m):
             np.asarray(got, np.float32), np.asarray(want, np.float32),
             atol=5e-2, rtol=5e-2,
         )
+
+
+def test_stacked_prefill_multi_mtile_matches():
+    """m > 256 routes to the prefill-mode pairs kernel (m-innermost
+    grid, weights dequantized once into scratch); must match the jnp
+    path across every m-tile, including the padded tail."""
+    from mlc_llm_tpu.ops.matmul import qmatmul_stacked
+    from mlc_llm_tpu.ops import use_kernels
+    from mlc_llm_tpu.quant.groupwise import QuantizedTensor
+
+    spec = resolve_spec("q4bf16")
+    L, k, n, m = 2, 256, 384, 520  # m_pad 768 -> 3 tiles of 256, padded tail
+    qts = [quantize(_mk(k, n, seed=20 + i), spec) for i in range(L)]
+    stacked = QuantizedTensor(
+        data=jnp.stack([q.data for q in qts]),
+        scale=jnp.stack([q.scale for q in qts]),
+        zero=jnp.stack([q.zero for q in qts]),
+        spec=spec, shape=(k, n),
+    )
+    x = jnp.asarray(_mk(m, k, seed=5), jnp.bfloat16)
+    for l in range(L):
+        with use_kernels("pallas"):
+            got = qmatmul_stacked(x, stacked, jnp.int32(l))
+        wd = dequantize(qts[l], jnp.bfloat16)
+        want = jnp.matmul(x, wd, preferred_element_type=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=5e-2, rtol=5e-2,
+        )
