@@ -138,13 +138,15 @@ def main():
 
     # --- TTFT: prefill + first sampled token, RTT-corrected ----------------
     logits, cache = prefill(params, prompt, seq_lens, cache,
-                            attn_window=context_len)  # compile
+                            attn_window=context_len,
+                            prefill_flash=True)  # compile
     tok0 = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
     _readback(tok0)
     cache = init_kv_cache(cfg, batch=1, max_len=max_len)
     t0 = time.perf_counter()
     logits, cache = prefill(params, prompt, seq_lens, cache,
-                            attn_window=context_len)
+                            attn_window=context_len,
+                            prefill_flash=True)
     first = sample_token(logits, jax.random.PRNGKey(1), 0.0, 1.0, greedy=True)
     _readback(first)
     ttft_ms = (time.perf_counter() - t0 - rtt) * 1e3
@@ -161,12 +163,12 @@ def main():
                 sl = jnp.full((1,), ctx, jnp.int32)
                 c_ctx = init_kv_cache(cfg, batch=1, max_len=max_len)
                 lg, c_ctx = prefill(params, p_ctx, sl, c_ctx,
-                                    attn_window=ctx)  # compile
+                                    attn_window=ctx, prefill_flash=True)  # compile
                 _readback(jnp.argmax(lg, -1))
                 c_ctx = init_kv_cache(cfg, batch=1, max_len=max_len)
                 t0 = time.perf_counter()
                 lg, c_ctx = prefill(params, p_ctx, sl, c_ctx,
-                                    attn_window=ctx)
+                                    attn_window=ctx, prefill_flash=True)
                 f = sample_token(lg, jax.random.PRNGKey(1), 0.0, 1.0, greedy=True)
                 _readback(f)
                 ttft_buckets[ctx] = round((time.perf_counter() - t0 - rtt) * 1e3, 1)
@@ -248,7 +250,8 @@ def main():
             )
             cache3 = init_kv_cache(cfg, batch=1, max_len=512, dtype=jnp.int8)
             logits3, cache3 = prefill(params3, prompt, seq_lens, cache3,
-                                      attn_window=context_len)
+                                      attn_window=context_len,
+                            prefill_flash=True)
             tok3 = jnp.argmax(logits3, -1).astype(jnp.int32)[:, None]
             def _t3(n):
                 nonlocal cache3, tok3
@@ -282,7 +285,8 @@ def main():
             prompts8 = jnp.tile(prompt, (8, 1))
             lens8 = jnp.full((8,), context_len, jnp.int32)
             logits8, cache8 = prefill(params, prompts8, lens8, cache8,
-                                      attn_window=context_len)
+                                      attn_window=context_len,
+                            prefill_flash=True)
             tok8 = jnp.argmax(logits8, -1).astype(jnp.int32)[:, None]
             def _t8(n):
                 nonlocal cache8, tok8
@@ -333,7 +337,8 @@ def main():
             prompts8 = jnp.tile(prompt, (8, 1))
             lens8 = jnp.full((8,), context_len, jnp.int32)
             logits_p, paged = prefill(params, prompts8, lens8, paged,
-                                      attn_window=context_len)
+                                      attn_window=context_len,
+                            prefill_flash=True)
             tokp = jnp.argmax(logits_p, -1).astype(jnp.int32)[:, None]
 
             def _tp(n):

@@ -113,17 +113,17 @@ class InferenceEngine:
 
         @partial(
             jax.jit, donate_argnames=("cache",),
-            static_argnames=("last_only", "attn_window"),
+            static_argnames=("last_only", "attn_window", "prefill_flash"),
         )
         def _prefill(params, tokens, seq_lens, cache, last_only=True,
-                     attn_window=None):
+                     attn_window=None, prefill_flash=False):
             # attn_window (static) bounds the cache read exactly like the
             # decode path: a ctx-512 reset prefill scores 512 positions,
             # not the full Smax buffer (4-16x less mask/softmax work)
             return forward(
                 params, cfg_static, tokens, cache,
                 seq_lens=seq_lens, last_only=last_only,
-                attn_window=attn_window,
+                attn_window=attn_window, prefill_flash=prefill_flash,
             )
 
         @partial(
@@ -171,9 +171,9 @@ class InferenceEngine:
             )
 
         @partial(jax.jit, donate_argnames=("cache",),
-                 static_argnames=("attn_window",))
+                 static_argnames=("attn_window", "prefill_flash"))
         def _prefill_slot(params, tokens, seq_len, cache, slot, append=False,
-                          attn_window=None):
+                          attn_window=None, prefill_flash=False):
             """Prefill ONE slot (tokens [1, S]) without touching the
             other slots' KV state — continuous-batching admission.
 
@@ -196,7 +196,7 @@ class InferenceEngine:
             logits, sub = forward(
                 params, cfg_static, tokens, sub,
                 seq_lens=seq_len[None], last_only=True,
-                attn_window=attn_window,
+                attn_window=attn_window, prefill_flash=prefill_flash,
             )
             return logits, KVCache(
                 k=_splice_slot(cache.k, sub.k, slot),
@@ -209,9 +209,12 @@ class InferenceEngine:
             )
 
         @partial(jax.jit, donate_argnames=("cache",),
-                 static_argnames=("attn_window",))
+                 static_argnames=("attn_window", "prefill_flash"))
         def _prefill_slot_paged(params, tokens, seq_len, cache, slot,
-                                append=False, attn_window=None):
+                                append=False, attn_window=None,
+                                prefill_flash=False):
+            # prefill_flash is accepted for caller symmetry; the paged
+            # layer path gathers pages and never takes the flash branch
             """Paged admission prefill: the pools are shared, but writes
             only touch the slot's own pages (via its page-table row), so
             other slots' KV state is untouched by construction."""
@@ -386,7 +389,7 @@ class InferenceEngine:
         t0 = time.perf_counter()
         logits, self.cache = self._prefill(
             self.params, jnp.asarray(toks), jnp.asarray(seq_lens), self.cache,
-            attn_window=window,
+            attn_window=window, prefill_flash=reset,
         )
         logits.block_until_ready()
         self.stats.prefill_time += time.perf_counter() - t0

@@ -218,6 +218,8 @@ class ContinuousBatchingScheduler:
             attn_window=eng.decode_window(
                 min(req.start_len + bucket, eng.max_seq_len)
             ),
+            # non-append admission starts at position 0: flash-eligible
+            prefill_flash=not req.append,
         )
         eng.stats.prefill_time += time.perf_counter() - t0
         eng.stats.prefill_tokens += len(req.prompt)

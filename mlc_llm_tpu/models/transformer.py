@@ -22,7 +22,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import attend_cache
+from ..ops.attention import attend_cache, flash_prefill, flash_prefill_supported
 from ..ops.matmul import qmatmul, qmatmul_stacked
 from ..quant.groupwise import QuantizedTensor, quantize, take_dequantize
 from ..quant.spec import QuantSpec, resolve_spec
@@ -195,6 +195,7 @@ def _layer(
     start: Array,
     attn_window: Optional[int] = None,
     page_table: Optional[Array] = None,
+    prefill_flash: bool = False,
 ):
     B, S, H = h.shape
     nh, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -314,6 +315,17 @@ def _layer(
     else:
         ck = _write_tokens(ck, k_bhsd.astype(ck.dtype), l, start)
         cv = _write_tokens_v(cv, v_bhds.astype(cv.dtype), l, start)
+        if prefill_flash and flash_prefill_supported(S, d):
+            # reset prefill (caller guarantees start == 0): the block IS
+            # the whole context — causal flash over the block's own
+            # K/V, no cache read, fp32 online softmax
+            attn = flash_prefill(
+                q.transpose(0, 2, 1, 3), k_bhsd, v.transpose(0, 2, 1, 3)
+            )
+            attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nh * d)
+            attn_out = qmatmul_stacked(attn, weights["wo"], l, lp.get("bo"))
+            h = _layer_tail(h, attn_out, h_mlp_in, lp, weights, l, cfg)
+            return h, ck, cv, cks, cvs
         kc, vc = read_k(ck), read_v(cv)
         ksc = vsc = None
 
@@ -334,6 +346,7 @@ def forward(
     seq_lens: Optional[Array] = None,
     last_only: bool = True,
     attn_window: Optional[int] = None,
+    prefill_flash: bool = False,
 ) -> Tuple[Array, KVCache]:
     """Run the decoder over a token block appended at each slot's length.
 
@@ -346,6 +359,9 @@ def forward(
     lengths + S <= attn_window); attention then reads only the first
     attn_window cache positions instead of the full Smax buffer — the
     engine compiles one decode program per window bucket.
+    prefill_flash: caller asserts every slot starts at position 0
+    (reset prefill) — prefill attention then runs the causal flash
+    kernel over the block itself with no cache read at all.
     Returns (logits fp32 [B, V] if last_only — taken at each slot's
     LAST REAL token — else [B, S, V]; new cache with lengths advanced
     by seq_lens).
@@ -376,7 +392,7 @@ def forward(
         lp, l = xs
         hh, ck, cv, cks, cvs = _layer(
             hh, lp, weights, ck, cv, cks, cvs, l, cfg, rot_cos, rot_sin,
-            positions, start, attn_window, page_table,
+            positions, start, attn_window, page_table, prefill_flash,
         )
         return (hh, ck, cv, cks, cvs), None
 
