@@ -107,12 +107,15 @@ def main():
       except Exception:
         measured_bw = None
 
-    @partial(jax.jit, static_argnames=("last_only", "attn_window"))
+    @partial(jax.jit,
+             static_argnames=("last_only", "attn_window", "prefill_flash"))
     def prefill(params, tokens, seq_lens, cache, last_only=True,
-                attn_window=None):
-        # reset prefill: the context length is an exact static window
+                attn_window=None, prefill_flash=False):
+        # reset prefill: the context length is an exact static window;
+        # prefill_flash routes ctx >= 1024 to the causal flash kernel
         return forward(params, cfg, tokens, cache, seq_lens=seq_lens,
-                       last_only=last_only, attn_window=attn_window)
+                       last_only=last_only, attn_window=attn_window,
+                       prefill_flash=prefill_flash)
 
     @partial(jax.jit, donate_argnames=("cache",), static_argnames=("window",))
     def decode_n(params, tok, cache, key, n, window=None):
