@@ -209,12 +209,9 @@ class InferenceEngine:
             )
 
         @partial(jax.jit, donate_argnames=("cache",),
-                 static_argnames=("attn_window", "prefill_flash"))
+                 static_argnames=("attn_window",))
         def _prefill_slot_paged(params, tokens, seq_len, cache, slot,
-                                append=False, attn_window=None,
-                                prefill_flash=False):
-            # prefill_flash is accepted for caller symmetry; the paged
-            # layer path gathers pages and never takes the flash branch
+                                append=False, attn_window=None):
             """Paged admission prefill: the pools are shared, but writes
             only touch the slot's own pages (via its page-table row), so
             other slots' KV state is untouched by construction."""
@@ -258,8 +255,20 @@ class InferenceEngine:
             return _dc.replace(cache, lengths=jnp.where(keep_mask, cache.lengths, 0))
 
         self._prefill = _prefill
+        def _prefill_slot_paged_entry(params, tokens, seq_len, cache, slot,
+                                      append=False, attn_window=None,
+                                      prefill_flash=False):
+            # accepted for caller symmetry, dropped BEFORE the jit: the
+            # paged layer path never takes the flash branch, and a dead
+            # static arg would compile two identical programs
+            del prefill_flash
+            return _prefill_slot_paged(
+                params, tokens, seq_len, cache, slot, append,
+                attn_window=attn_window,
+            )
+
         self._prefill_slot = (
-            _prefill_slot_paged if kv_layout == "paged" else _prefill_slot
+            _prefill_slot_paged_entry if kv_layout == "paged" else _prefill_slot
         )
         self._decode_sample = _decode_sample
         self._reset_lengths = _reset_lengths
@@ -370,13 +379,22 @@ class InferenceEngine:
         if reset:
             self.reset(range(len(prompts)))
         if self.allocator is not None:
-            for i, p in enumerate(prompts):
-                total = int(self.cache.lengths[i]) + len(p) + reserve_tokens + 1
-                self.assign_pages(
-                    i, self.pages_needed(i, min(total, self.max_seq_len)),
-                    push=False,
-                )
-            self._push_table()  # one upload for the whole batch
+            # one host readback of lengths (zeroed above when reset) —
+            # not one device sync per prompt
+            lens_host = (np.zeros((B,), np.int64) if reset
+                         else np.asarray(self.cache.lengths))
+            try:
+                for i, p in enumerate(prompts):
+                    total = int(lens_host[i]) + len(p) + reserve_tokens + 1
+                    self.assign_pages(
+                        i, self.pages_needed(i, min(total, self.max_seq_len)),
+                        push=False,
+                    )
+            finally:
+                # push even when the pool runs out mid-loop: earlier
+                # slots' host-side table edits must reach the device or
+                # their writes land in the reserved null page
+                self._push_table()  # one upload for the whole batch
         toks = np.zeros((B, bucket), np.int32)
         seq_lens = np.zeros((B,), np.int32)
         for i, p in enumerate(prompts):

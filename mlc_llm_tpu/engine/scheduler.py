@@ -152,8 +152,17 @@ class ContinuousBatchingScheduler:
         eng = self.engine
         free = deque(self._free_slots())
         deferred: List[Request] = []
+        blocked = False  # a transient hit page backpressure this round
         while self.pending:
             req = self.pending.popleft()
+            if blocked and req.pin_slot is None:
+                # keep FIFO page fairness among transients once one is
+                # page-starved — but still try PINNED session requests
+                # below: they may need zero new pages, and skipping them
+                # would hang forever when nothing is active to free
+                # pages (same starvation class as the slot case)
+                deferred.append(req)
+                continue
             if req.pin_slot is not None:
                 if req.pin_slot in self.active:
                     deferred.append(req)  # session slot still generating
@@ -170,11 +179,14 @@ class ContinuousBatchingScheduler:
                 deferred.append(req)
                 continue
             if not self._admit_one(req, slot):
-                # paged-KV backpressure: not enough free pages yet
+                # paged-KV backpressure: not enough free pages yet.
+                # Block transients behind it (page FIFO fairness) but
+                # keep trying pinned requests.
                 deferred.append(req)
+                blocked = True
                 if req.pin_slot is None:
                     free.appendleft(slot)
-                break
+                continue
         deferred.extend(self.pending)
         self.pending = deque(deferred)
 
@@ -191,6 +203,18 @@ class ContinuousBatchingScheduler:
             # prompt when max_new_tokens >= max_seq_len - 1)
             keep = max(1, limit - req.gen.max_new_tokens - 1)
             req.prompt = req.prompt[-keep:]
+        # the PADDED bucket must also fit: the contiguous cache DUS's
+        # the whole [bucket] block at start_len, and a clamped DUS
+        # start would shift it back over the slot's valid KV
+        fit = max((b for b in eng.buckets if b <= limit), default=None)
+        if fit is None:
+            raise ValueError(
+                f"slot history ({req.start_len} tokens) leaves no room "
+                f"for any prefill bucket (max_seq_len {eng.max_seq_len});"
+                " shift or reset the session window first"
+            )
+        if len(req.prompt) > fit:
+            req.prompt = req.prompt[-fit:]
         if eng.allocator is not None:
             if not req.append:
                 eng.free_slot_pages(slot)  # recycle a previous tenant's pages

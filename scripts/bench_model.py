@@ -43,7 +43,11 @@ def main():
         params, is_leaf=lambda x: isinstance(x, QuantizedTensor))
     kv_dtype = {"bf16": jnp.bfloat16, "f16": jnp.float16, "int8": jnp.int8}[
         args.kv_dtype]
-    cache = init_kv_cache(cfg, batch=args.batch, max_len=512, dtype=kv_dtype)
+    # cache/window sized for prompt + every decode step of the run
+    # (2 + 3*(8+72) = 242 steps): forward requires lengths + S <= window
+    max_len = args.ctx + 256
+    cache = init_kv_cache(cfg, batch=args.batch, max_len=max_len,
+                          dtype=kv_dtype)
 
     @jax.jit
     def prefill(params, tokens, seq_lens, cache):
@@ -70,7 +74,7 @@ def main():
     logits, cache = prefill(params, prompt, lens, cache)
     tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
     key = jax.random.PRNGKey(0)
-    window = 256
+    window = max_len
 
     def timed(n):
         nonlocal cache, tok

@@ -211,3 +211,45 @@ def test_pinned_request_not_starved_by_unadmittable_transient():
     assert pinned.done and len(pinned.output) == 4
     # the transient stays pending (still no unreserved slot), not lost
     assert not transient.done and transient in sched.pending
+
+
+def test_append_bucket_must_fit_history():
+    """The padded prefill bucket is DUS'd at start_len into the
+    contiguous cache; a bucket overrunning max_seq_len would clamp the
+    DUS start and shift the block back over valid KV (caught in
+    review). Admission must clamp the prompt to a bucket that fits, and
+    refuse loudly when none does."""
+    from mlc_llm_tpu.models import get_config, init_random_params
+
+    cfg = get_config("tiny-llama")
+    params = init_random_params(cfg, "f32", seed=0)
+    eng = InferenceEngine(cfg, params, max_batch=2, max_seq_len=64)
+    sched = ContinuousBatchingScheduler(eng)
+    s0 = sched.reserve_slot()
+
+    # turn 1: fill the slot to length 40 (prompt 38 + 2 generated)
+    r1 = sched.submit(list(range(1, 39)), _greedy(2), pin_slot=s0)
+    for _ in range(8):
+        if r1.done:
+            break
+        sched.step()
+    assert r1.done
+    start = int(np.asarray(eng.cache.lengths)[s0])
+    assert start == 40
+
+    # turn 2: 20-token append; limit 24 -> largest fitting bucket is 16,
+    # so the prompt is clamped to its last 16 tokens (never shifted)
+    r2 = sched.submit(list(range(100, 120)), _greedy(2), pin_slot=s0,
+                      append=True)
+    for _ in range(8):
+        if r2.done:
+            break
+        sched.step()
+    assert r2.done and len(r2.prompt) == 16
+    assert int(np.asarray(eng.cache.lengths)[s0]) == 40 + 16 + 2
+
+    # turn 3: slot nearly full -> no bucket fits -> loud error, not
+    # silent KV corruption
+    r3 = sched.submit([7, 8, 9], _greedy(2), pin_slot=s0, append=True)
+    with pytest.raises(ValueError, match="no room"):
+        sched.step()
