@@ -15,14 +15,65 @@ fixed RTT + dispatch overhead). TTFT is RTT-corrected.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 # v5e per-chip HBM bandwidth (public spec: 819 GB/s)
 HBM_BW = 819e9
+
+HEADLINE_METRIC = "decode_tok_s_vicuna7b_q4bf16_b1"
+
+
+def _fail_json(error: str, detail: str = "") -> None:
+    """Always print a parseable one-line JSON, even when the backend is dead.
+
+    Analog of the reference runtime's stats line, which always prints
+    (reference cpp/llm_chat.cc:547-556): a failed measurement is still a
+    structured record, not a stack trace.
+    """
+    print(json.dumps({
+        "metric": HEADLINE_METRIC,
+        "value": None,
+        "unit": "tok/s",
+        "vs_baseline": None,
+        "error": error,
+        "detail": detail[:300],
+    }))
+
+
+def _probe_backend(timeout_s: float = 240.0, attempts: int = 3) -> str:
+    """Check that JAX backend init completes, in a KILLABLE subprocess.
+
+    The round-2 failure mode was a *hang* inside TPU backend init when the
+    tunnel died — an in-process try/except can't recover from that, so the
+    probe runs `jax.default_backend()` in a child process under a timeout
+    and retries. Returns the backend name, or raises RuntimeError.
+    """
+    code = "import jax; print(jax.default_backend())"
+    last = ""
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+            if r.returncode == 0 and r.stdout.strip():
+                return r.stdout.strip().splitlines()[-1]
+            last = (r.stderr or "").strip().splitlines()[-1] if r.stderr else f"rc={r.returncode}"
+        except subprocess.TimeoutExpired:
+            last = f"backend init timed out after {timeout_s:.0f}s (attempt {i + 1})"
+        time.sleep(5 * (i + 1))
+    raise RuntimeError(last or "backend probe failed")
+
+
+# importing jax does NOT init the backend (safe even when the TPU tunnel
+# is down); backend init happens at jax.default_backend()/jax.devices(),
+# which main() only reaches after _probe_backend() has succeeded
+import jax
+import jax.numpy as jnp
+import numpy as np
 
 
 def _tree_device_bytes(tree) -> int:
@@ -41,6 +92,26 @@ def _readback(x) -> float:
 
 
 def main():
+    # CPU smoke-test mode: the TPU plugin in this image ignores
+    # JAX_PLATFORMS, so force the config directly (backends are lazy)
+    if os.environ.get("MLC_BENCH_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+    # 1) probe backend init in a killable subprocess (round-2 outage mode:
+    #    in-process init HANGS when the tunnel dies — cannot be try/except'd)
+    elif not os.environ.get("MLC_BENCH_SKIP_PROBE"):
+        try:
+            _probe_backend()
+        except RuntimeError as e:
+            _fail_json("backend_unavailable", str(e))
+            return
+    # 2) anything else still prints a structured failure line, rc=0
+    try:
+        _run()
+    except Exception as e:  # noqa: BLE001 — the JSON line must always print
+        _fail_json(type(e).__name__, str(e))
+
+
+def _run():
     from functools import partial
 
     from mlc_llm_tpu.models import (
@@ -154,10 +225,10 @@ def main():
     _readback(first)
     ttft_ms = (time.perf_counter() - t0 - rtt) * 1e3
 
-    # TTFT across context buckets (512/1024): no >2x cliff per doubling
+    # TTFT across context buckets (512/1024/2048): no >2x-per-doubling cliff
     ttft_buckets = {}
     if not on_cpu:
-        for ctx in (512, 1024):
+        for ctx in (512, 1024, 2048):
             try:
                 p_ctx = jnp.asarray(
                     np.random.default_rng(1).integers(10, 1000, size=(1, ctx)),
@@ -203,7 +274,14 @@ def main():
         d = (t_long - t_short) / (n_long - n_short)
         if d > 0:
             cands.append(d)
-    per_step = min(cands) if cands else 1e-6
+    if not cands:
+        # every long-minus-short delta was non-positive: chip contention or
+        # a broken clock. That is a FAILED measurement — report it as such
+        # instead of the absurd tok/s a tiny-epsilon fallback would imply.
+        _fail_json("measurement_failed",
+                   "all long-minus-short deltas non-positive (contention?)")
+        return
+    per_step = min(cands)
     tok_s = 1.0 / per_step
 
     # --- roofline ----------------------------------------------------------
@@ -270,8 +348,11 @@ def main():
                 b = _t3(n_long)
                 if b - a > 0:
                     cands3.append((b - a) / (n_long - n_short))
-            per3 = min(cands3) if cands3 else 1e-6
-            result["q3_int8kv_tok_s"] = round(1 / per3, 2)
+            if cands3:
+                result["q3_int8kv_tok_s"] = round(1 / min(cands3), 2)
+            else:
+                result["q3_int8kv_tok_s"] = None
+                result["q3_error"] = "all deltas non-positive"
             result["q3_weight_bytes"] = _tree_device_bytes(params3)
             del params3, cache3
         except Exception as e:
@@ -307,8 +388,11 @@ def main():
                 b = _t8(n_long)
                 if b - a > 0:
                     cands8.append((b - a) / (n_long - n_short))
-            per8 = min(cands8) if cands8 else 1e-6
-            result["batch8_tok_s"] = round(8 / per8, 2)
+            if cands8:
+                result["batch8_tok_s"] = round(8 / min(cands8), 2)
+            else:
+                result["batch8_tok_s"] = None
+                result["batch8_error"] = "all deltas non-positive"
             del cache8
         except Exception as e:  # keep the headline metric printable
             result["batch8_error"] = f"{type(e).__name__}"
@@ -360,8 +444,11 @@ def main():
                 b = _tp(n_long)
                 if b - a > 0:
                     candsp.append((b - a) / (n_long - n_short))
-            perp = min(candsp) if candsp else 1e-6
-            result["paged_batch8_tok_s"] = round(8 / perp, 2)
+            if candsp:
+                result["paged_batch8_tok_s"] = round(8 / min(candsp), 2)
+            else:
+                result["paged_batch8_tok_s"] = None
+                result["paged_batch8_error"] = "all deltas non-positive"
         except Exception as e:
             result["paged_batch8_error"] = f"{type(e).__name__}: {e}"[:120]
     print(json.dumps(result))

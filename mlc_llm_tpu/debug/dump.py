@@ -97,8 +97,11 @@ def dump_engine_programs(
     )
     written += [f"decode_w{window}.jaxpr.txt", f"decode_w{window}.stablehlo.txt"]
 
-    # single-slot admission prefill
-    low = engine._prefill_slot.lower(
+    # single-slot admission prefill. engine._prefill_slot can be a plain
+    # wrapper on paged engines (no .lower); _prefill_slot_jit is the
+    # underlying jitted program for both layouts, and the positional
+    # prefix (params, tokens, seq_len, cache, slot, append) is shared.
+    low = engine._prefill_slot_jit.lower(
         params,
         jnp.zeros((1, bucket), jnp.int32),
         jnp.asarray(bucket, jnp.int32),

@@ -270,6 +270,11 @@ class InferenceEngine:
         self._prefill_slot = (
             _prefill_slot_paged_entry if kv_layout == "paged" else _prefill_slot
         )
+        # the underlying jitted program (the paged entry above is a plain
+        # wrapper with no .lower) — debug/dump.py lowers this directly
+        self._prefill_slot_jit = (
+            _prefill_slot_paged if kv_layout == "paged" else _prefill_slot
+        )
         self._decode_sample = _decode_sample
         self._reset_lengths = _reset_lengths
         self._sample_logits = jax.jit(
@@ -378,11 +383,12 @@ class InferenceEngine:
         bucket = self.bucket_for(max(lens))
         if reset:
             self.reset(range(len(prompts)))
+        # one host readback of lengths (zeroed above when reset) — not one
+        # device sync per prompt. Host-known starts serve both the paged
+        # allocator and the append path's static attention window.
+        lens_host = (np.zeros((B,), np.int64) if reset
+                     else np.asarray(self.cache.lengths))
         if self.allocator is not None:
-            # one host readback of lengths (zeroed above when reset) —
-            # not one device sync per prompt
-            lens_host = (np.zeros((B,), np.int64) if reset
-                         else np.asarray(self.cache.lengths))
             try:
                 for i, p in enumerate(prompts):
                     total = int(lens_host[i]) + len(p) + reserve_tokens + 1
@@ -401,13 +407,26 @@ class InferenceEngine:
             toks[i, : len(p)] = p
             seq_lens[i] = len(p)
         # reset prefill starts at position 0, so the bucket is an exact
-        # static attention window; append prefill would need device
-        # lengths (a host sync) — leave it at the full buffer there
-        window = self.decode_window(bucket) if reset else None
+        # static attention window; append prefill uses the host-known slot
+        # lengths (readback above — the scheduler admission pattern,
+        # scheduler.py _admit) so multi-turn batch prefill is windowed too
+        if reset:
+            window = self.decode_window(bucket)
+        else:
+            start_max = int(max(
+                (lens_host[i] for i in range(len(prompts))), default=0
+            ))
+            window = self.decode_window(
+                min(start_max + bucket, self.max_seq_len)
+            )
         t0 = time.perf_counter()
         logits, self.cache = self._prefill(
             self.params, jnp.asarray(toks), jnp.asarray(seq_lens), self.cache,
-            attn_window=window, prefill_flash=reset,
+            attn_window=window,
+            # flash prefill requires start position 0 (reset); the paged
+            # layer path never takes the flash branch — force False there
+            # so the static arg doesn't compile duplicate programs
+            prefill_flash=reset and self.kv_layout != "paged",
         )
         logits.block_until_ready()
         self.stats.prefill_time += time.perf_counter() - t0

@@ -123,6 +123,27 @@ def test_debug_dump_programs(tmp_path):
     assert "stablehlo" in text or "module" in text
 
 
+def test_debug_dump_programs_paged(tmp_path):
+    """Paged engines expose _prefill_slot via a plain wrapper with no
+    .lower — the dump must lower the underlying jitted program instead
+    (round-2 advisor finding: AttributeError on paged engines)."""
+    from mlc_llm_tpu.debug.dump import dump_engine_programs
+    from mlc_llm_tpu.engine import InferenceEngine
+    from mlc_llm_tpu.models import get_config, init_random_params
+
+    cfg = get_config("tiny-llama")
+    eng = InferenceEngine(cfg, init_random_params(cfg, "q4bf16", seed=0),
+                          max_batch=2, max_seq_len=64,
+                          kv_layout="paged", page_size=16)
+    outdir = str(tmp_path / "dumps")
+    written = dump_engine_programs(eng, outdir, prefill_bucket=16)
+    import os
+
+    assert any(w.startswith("prefill_slot.stablehlo") for w in written)
+    for w in written:
+        assert os.path.getsize(os.path.join(outdir, w)) > 100, w
+
+
 def test_q4_q3_ppl_delta_pinned():
     """Regression pin for the BASELINE.md perplexity gate: q4 and q3
     log-ppl deltas vs fp32 on a fixed token set stay under a bound
