@@ -61,6 +61,7 @@ class InferenceEngine:
         kv_layout: str = "slot",
         page_size: int = 128,
         num_pages: Optional[int] = None,
+        page_head_block: Optional[int] = None,
     ):
         """kv_layout: "slot" = slot-contiguous [B, Smax] KV (small-batch
         fast path); "paged" = shared page pool + per-slot page tables
@@ -101,9 +102,13 @@ class InferenceEngine:
             self.allocator = PageAllocator(num_pages)
             self._table_np = np.zeros((max_batch, pages_per_slot), np.int32)
             self._slot_pages = {s: [] for s in range(max_batch)}
+            # page_head_block: kv-heads packed per page lane-block. Under
+            # TP sharding pick num_kv_heads // tp so the group count
+            # G = Hkv/hb divides tp (the shard_map kernel's shard dim)
             self.cache = init_paged_kv_cache(
                 cfg, max_batch, num_pages, page_size,
                 max_pages_per_slot=pages_per_slot, dtype=cache_dtype,
+                head_block=page_head_block,
             )
         else:
             self.cache = init_kv_cache(cfg, max_batch, self.max_seq_len, cache_dtype)

@@ -335,8 +335,8 @@ def write_scales_paged_v(scales: Array, new: Array, l: Array, table: Array,
 def paged_flash_enabled(dtype) -> bool:
     """Route paged decode through the flash kernel? (CPU runs it in
     interpret mode only under forced 'pallas' tests — auto mode keeps
-    the gather path there; GSPMD-sharded params get no partitioning
-    rule for the kernel.)"""
+    the gather path there; GSPMD-sharded params take the explicit
+    shard_map route below instead.)"""
     from ..ops import kernel_mode, sharded_params
 
     return (
@@ -344,6 +344,114 @@ def paged_flash_enabled(dtype) -> bool:
         and jax.default_backend() not in ("cpu",)
         and not sharded_params()
     )
+
+
+def paged_flash_tp_enabled(G: int, Hq: int, B: int, mesh) -> bool:
+    """Route SHARDED paged decode through shard_map(paged_flash_decode)?
+
+    Requires a mesh with a 'tp' axis whose size divides both the pool's
+    head-group count G and the query head count Hq (pick head_block =
+    num_kv_heads // tp at engine init so G == tp at 7B tp=8). Without
+    this route, sharded paged decode falls back to gather_pages_*, which
+    materializes the whole window per layer (measured 103 ms/step per
+    pool at 7B b8 — docs/PERF.md r2)."""
+    from ..ops import kernel_mode
+
+    if mesh is None or "tp" not in mesh.axis_names:
+        return False
+    tp = mesh.shape["tp"]
+    if tp < 1 or G % tp != 0 or Hq % tp != 0:
+        return False
+    if jax.default_backend() == "cpu":
+        # interpret-mode only under forced 'pallas' (parity tests) or the
+        # narrow env opt-in (dryrun: forcing 'pallas' globally would also
+        # misroute the sharded quantized matmuls, which must stay jnp)
+        import os
+
+        return (kernel_mode() == "pallas"
+                or os.environ.get("MLC_PAGED_TP_INTERPRET") == "1")
+    return kernel_mode() in ("pallas", "auto")
+
+
+def paged_flash_decode_tp(
+    q: Array,            # [B, Hq, 1, D]
+    k_pages: Array,      # [G, L, P, ps, hb*D]
+    v_pages: Array,
+    k_scale: Optional[Array],
+    v_scale: Optional[Array],
+    page_table: Array,   # [B, maxp]
+    lengths: Array,      # [B]
+    layer: Array,        # scalar
+    *,
+    num_pages_window: int,
+    head_dim: int,
+    mesh,
+    interpret: bool = False,
+) -> Array:
+    """paged_flash_decode under GSPMD: explicit shard_map over the mesh.
+
+    pallas_call has no SPMD partitioning rule, so the kernel re-enters
+    manual-sharding land: head groups ride 'tp' (G is the pool's natural
+    shard dim — each group's pages + scales are self-contained), batch
+    rides the non-'tp' axes when divisible. Each device runs the SAME
+    kernel on its local [G/tp, ...] pool shard and [B(/dp), Hq/tp, 1, D]
+    queries; no collectives are needed inside — the head-sharded output
+    feeds the row-parallel o-proj, whose all-reduce GSPMD already places
+    (tests/test_sharding.py::test_sharded_decode_places_all_reduces).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    B, Hq = q.shape[0], q.shape[1]
+    G, _, _, ps, _ = k_pages.shape
+    tp_ax = "tp" if (
+        "tp" in mesh.axis_names
+        and G % mesh.shape["tp"] == 0
+        and Hq % mesh.shape["tp"] == 0
+    ) else None
+    batch_axes = tuple(
+        a for a in mesh.axis_names if a != "tp" and mesh.shape[a] > 1
+    )
+    bprod = 1
+    for a in batch_axes:
+        bprod *= mesh.shape[a]
+    b_ax = batch_axes if (batch_axes and B % bprod == 0) else None
+
+    if k_scale is None:
+        # replicated dummies (the kernel only reads them in int8 mode)
+        hb = k_pages.shape[4] // head_dim
+        k_scale = jnp.zeros((1, 1, 1, hb, ps), jnp.float32)
+        v_scale = jnp.zeros((1, 1, 1, ps, hb), jnp.float32)
+
+    pool_spec = P(tp_ax, None, None, None, None)
+    sc_rep = k_scale.shape[0] == 1  # dummy scales stay replicated
+    sc_spec = P(None if sc_rep else tp_ax, None, None, None, None)
+
+    def local(q_, kp, vp, ks, vs, tbl, ln, lt):
+        return paged_flash_decode(
+            q_, kp, vp,
+            None if sc_rep else ks, None if sc_rep else vs,
+            tbl, ln, lt,
+            num_pages_window=num_pages_window, head_dim=head_dim,
+            interpret=interpret,
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(b_ax, tp_ax, None, None),   # q
+            pool_spec,                    # k_pages
+            pool_spec,                    # v_pages
+            sc_spec,                      # k_scale
+            sc_spec,                      # v_scale
+            P(b_ax, None),                # page_table
+            P(b_ax),                      # lengths
+            P(),                          # layer scalar
+        ),
+        out_specs=P(b_ax, tp_ax, None, None),
+        check_vma=False,
+    )(q, k_pages, v_pages, k_scale, v_scale, page_table, lengths,
+      jnp.asarray(layer, jnp.int32))
 
 
 # ------------------------------------------------------------- allocator

@@ -235,7 +235,9 @@ def _layer(
             gather_pages_scale_v,
             gather_pages_v,
             paged_flash_decode,
+            paged_flash_decode_tp,
             paged_flash_enabled,
+            paged_flash_tp_enabled,
             write_scales_paged_k,
             write_scales_paged_v,
             write_tokens_paged_k,
@@ -258,11 +260,26 @@ def _layer(
             ck = write_tokens_paged_k(ck, k_bhsd, l, page_table, start)
             cv = write_tokens_paged_v(cv, v_bhds, l, page_table, start)
 
-        from ..ops import kernel_mode
+        from ..ops import current_mesh, kernel_mode, sharded_params
 
         on_cpu = jax.default_backend() == "cpu"
-        if S == 1 and (paged_flash_enabled(ck.dtype) or
-                       (on_cpu and kernel_mode() == "pallas")):
+        mesh = current_mesh() if sharded_params() else None
+        if (S == 1 and mesh is not None
+                and paged_flash_tp_enabled(ck.shape[0], nh, B, mesh)):
+            # GSPMD-sharded params: re-enter the kernel via an explicit
+            # shard_map (head groups on 'tp'); without this, sharded
+            # paged decode fell back to the gather path, which
+            # materializes the whole window per layer (103 ms/step per
+            # pool at 7B b8 — docs/PERF.md r2)
+            attn = paged_flash_decode_tp(
+                q.transpose(0, 2, 1, 3), ck, cv, cks, cvs,
+                page_table, start, l,
+                num_pages_window=maxp, head_dim=d, mesh=mesh,
+                interpret=on_cpu,
+            )
+        elif S == 1 and not sharded_params() and (
+                paged_flash_enabled(ck.dtype)
+                or (on_cpu and kernel_mode() == "pallas")):
             attn = paged_flash_decode(
                 q.transpose(0, 2, 1, 3), ck, cv, cks, cvs,
                 page_table, start, l,

@@ -41,6 +41,23 @@ def set_sharded_params(flag: bool) -> None:
     _SHARDED_PARAMS = bool(flag)
 
 
+# The mesh the params were sharded over (parallel.sharding.shard_params).
+# The paged flash-decode kernel re-enters Pallas under GSPMD through an
+# explicit shard_map over this mesh (head groups on 'tp'), which needs
+# the mesh object at trace time — a NamedSharding annotation alone can't
+# partition a pallas_call.
+_CURRENT_MESH = None
+
+
+def current_mesh():
+    return _CURRENT_MESH
+
+
+def set_current_mesh(mesh) -> None:
+    global _CURRENT_MESH
+    _CURRENT_MESH = mesh
+
+
 @contextmanager
 def use_kernels(mode: str):
     prev = kernel_mode()

@@ -101,21 +101,25 @@ def attend_cache(
     return attend(q, k, v, q_pos, v_transposed=True)
 
 
+def flash_prefill_shape_ok(S: int, D: int) -> bool:
+    """Pure shape/threshold gate for the flash-prefill route — no
+    backend query, so it is directly testable on any platform.
+
+    Rules (each measured or structural):
+      S >= 1024 — flash wins -6% at ctx 1024 and -17% at ctx 2048 but
+        LOSES below (per-invocation overhead of the (b, h, q-block)
+        grid outweighs the saved softmax work when the [Sq, Sq] score
+        tile is small); the windowed jnp path stays faster at ctx<=512
+      S % 128 == 0 — the kernel's q/kv block size
+      D % 128 == 0 — lane alignment of the head dim
+    """
+    return S >= 1024 and S % 128 == 0 and D % 128 == 0
+
+
 def flash_prefill_supported(S: int, D: int) -> bool:
     """Reset-prefill flash path: TPU only (the Pallas kernel has no
-    interpret mode), block-aligned seq, lane-aligned head dim.
-
-    Long-context only: measured on-chip at 7B b1, flash wins -6% at
-    ctx 1024 and -17% at ctx 2048 but LOSES below (per-invocation
-    overhead of the (b, h, q-block) grid outweighs the saved softmax
-    work when the [Sq, Sq] score tile is small) — the windowed jnp
-    path stays faster at ctx <= 512."""
-    return (
-        jax.default_backend() == "tpu"
-        and S >= 1024
-        and S % 128 == 0
-        and D % 128 == 0
-    )
+    interpret mode) + the pure shape gate above."""
+    return jax.default_backend() == "tpu" and flash_prefill_shape_ok(S, D)
 
 
 def flash_prefill(q: Array, k: Array, v: Array) -> Array:

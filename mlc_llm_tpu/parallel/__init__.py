@@ -12,6 +12,8 @@ from .sharding import (
     shard_params,
     cache_shardings,
     shard_cache,
+    paged_cache_shardings,
+    shard_paged_cache,
 )
 
 __all__ = [
@@ -20,4 +22,6 @@ __all__ = [
     "shard_params",
     "cache_shardings",
     "shard_cache",
+    "paged_cache_shardings",
+    "shard_paged_cache",
 ]

@@ -131,12 +131,15 @@ def param_shardings(params, mesh: Mesh):
 
 
 def shard_params(params, mesh: Mesh):
-    from ..ops import set_sharded_params
+    from ..ops import set_current_mesh, set_sharded_params
 
     if any(mesh.shape[ax] > 1 for ax in mesh.axis_names):
         # fused Pallas kernels have no SPMD partitioning rule; flip auto
-        # kernel routing to the GSPMD-partitioned jnp path (ADVICE r1)
+        # kernel routing to the GSPMD-partitioned jnp path (ADVICE r1).
+        # The paged flash-decode kernel is the exception: it re-enters
+        # Pallas through an explicit shard_map over this mesh.
         set_sharded_params(True)
+        set_current_mesh(mesh)
     return jax.device_put(params, param_shardings(params, mesh))
 
 
@@ -165,6 +168,55 @@ def cache_shardings(
     sc_v = ns(sc_spec, None if shapes is None else shapes.v_scale) if int8 else None
     lengths = ns(("dp",), None if shapes is None else shapes.lengths)
     return KVCache(k=k, v=v, lengths=lengths, k_scale=sc_k, v_scale=sc_v)
+
+
+def paged_cache_shardings(mesh: Mesh, cache) -> "PagedKVCache":
+    """Paged pools [G, L, P, ps, hb*D]: head GROUPS over 'tp' (G is the
+    pool's natural shard dim — each group's pages are self-contained,
+    including its int8 scales), page table + lengths over 'dp'.
+
+    Same replicate-on-indivisible fallback as param_shardings: a pool
+    whose G doesn't divide by tp stays replicated (pick head_block so
+    G = num_kv_heads/head_block is a multiple of tp to avoid that —
+    engine/init_paged_kv_cache expose head_block)."""
+    from ..models.paged_cache import PagedKVCache
+
+    axis_size = {name: mesh.shape[name] for name in mesh.axis_names}
+
+    def ns(spec, arr):
+        if arr is None:
+            return None
+        dims = list(spec)
+        for i, ax in enumerate(dims):
+            if ax is not None and arr.shape[i] % axis_size.get(ax, 1) != 0:
+                dims[i] = None
+        return NamedSharding(mesh, P(*dims))
+
+    pool_spec = ("tp", None, None, None, None)
+    dp = "dp" if "dp" in mesh.axis_names else None
+    return PagedKVCache(
+        k_pages=ns(pool_spec, cache.k_pages),
+        v_pages=ns(pool_spec, cache.v_pages),
+        page_table=ns((dp, None), cache.page_table),
+        lengths=ns((dp,), cache.lengths),
+        k_scale=ns(pool_spec, cache.k_scale),
+        v_scale=ns(pool_spec, cache.v_scale),
+    )
+
+
+def shard_paged_cache(cache, mesh: Mesh):
+    from ..models.paged_cache import PagedKVCache
+
+    s = paged_cache_shardings(mesh, cache)
+    put = lambda a, sh: None if a is None else jax.device_put(a, sh)
+    return PagedKVCache(
+        k_pages=put(cache.k_pages, s.k_pages),
+        v_pages=put(cache.v_pages, s.v_pages),
+        page_table=put(cache.page_table, s.page_table),
+        lengths=put(cache.lengths, s.lengths),
+        k_scale=put(cache.k_scale, s.k_scale),
+        v_scale=put(cache.v_scale, s.v_scale),
+    )
 
 
 def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:

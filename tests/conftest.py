@@ -33,3 +33,17 @@ jax.config.update("jax_threefry_partitionable", True)
 # the seed-determinism test flake. The cache exists for the slow
 # tunneled TPU compiles (mlc_llm_tpu/__init__.py), not for CPU tests.
 jax.config.update("jax_enable_compilation_cache", False)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_sharding_globals():
+    """shard_params flips process-wide routing state (sharded_params +
+    current_mesh). Reset after every test so a sharding test can't leak
+    kernel-routing decisions into unrelated tests."""
+    yield
+    from mlc_llm_tpu import ops
+
+    ops.set_sharded_params(False)
+    ops.set_current_mesh(None)
