@@ -14,14 +14,17 @@ activations, across the DCN boundary:
 - the coordinator owns admission: least-loaded routing of requests to
   host schedulers, plus aggregate stats.
 
-In a deployment the submit path is an RPC front door on one host; the
-routing/aggregation logic is identical, so it is exercised in-process
-with N schedulers standing in for N hosts (the reference's RPC-to-phone
-testing idiom, compare_lib.py:94-112, translated to scheduling).
+The submit path across hosts is the TCP/JSON front door in wire.py:
+a peer can be a local ContinuousBatchingScheduler OR a
+wire.RemoteScheduler client to another host's SchedulerServer — the
+coordinator routes by least load either way (remote load rides the
+wire), drives only the local schedulers (remote hosts drive their own
+loops), and aggregates stats over the wire.
 """
 
 from __future__ import annotations
 
+import time
 from typing import List, Optional, Sequence
 
 from ..engine.engine import GenerationConfig, InferenceEngine
@@ -39,14 +42,23 @@ def local_scheduler(
 
 
 class HostCoordinator:
-    """Routes requests across per-host schedulers and aggregates stats."""
+    """Routes requests across per-host schedulers and aggregates stats.
 
-    def __init__(self, schedulers: Sequence[ContinuousBatchingScheduler]):
+    Peers are local ContinuousBatchingSchedulers and/or
+    wire.RemoteScheduler clients (other hosts' TCP front doors)."""
+
+    def __init__(self, schedulers: Sequence):
         assert schedulers, "need at least one host scheduler"
-        self.schedulers: List[ContinuousBatchingScheduler] = list(schedulers)
+        self.schedulers: List = list(schedulers)
 
     # ------------------------------------------------------------- routing
-    def _load(self, sched: ContinuousBatchingScheduler) -> int:
+    @staticmethod
+    def _is_remote(sched) -> bool:
+        return not hasattr(sched, "step")
+
+    def _load(self, sched) -> int:
+        if self._is_remote(sched):
+            return sched.load()
         return len(sched.pending) + sched.num_active
 
     def submit(
@@ -67,36 +79,58 @@ class HostCoordinator:
         return any(s.has_work() for s in self.schedulers)
 
     def step(self) -> None:
-        """One interleaved scheduling round across all hosts. (Each
-        in-process scheduler stands in for one host's local loop; real
-        hosts run their loop concurrently.)"""
+        """One interleaved scheduling round across the LOCAL hosts'
+        schedulers (remote hosts drive their own loops server-side)."""
         for s in self.schedulers:
-            if s.has_work():
+            if not self._is_remote(s) and s.has_work():
                 s.step()
 
     def run(self) -> None:
         while self.has_work():
             self.step()
+            if all(self._is_remote(s) or not s.has_work()
+                   for s in self.schedulers):
+                time.sleep(0.002)  # only remote work left: poll, don't spin
         for s in self.schedulers:
-            s._drain(all_remaining=True)
+            if self._is_remote(s):
+                s.wait_all()
+            else:
+                s._drain(all_remaining=True)
 
     # --------------------------------------------------------------- stats
+    def _host_stats(self, sched) -> dict:
+        if self._is_remote(sched):
+            return sched.stats()  # over the wire
+        st = sched.engine.stats
+        return {
+            "prefill_tokens": st.prefill_tokens,
+            "prefill_time": st.prefill_time,
+            "decode_tokens": st.decode_tokens,
+            "decode_time": st.decode_time,
+        }
+
     def stats_text(self) -> str:
-        parts = [
-            f"host{i}: {s.engine.stats.text()}"
-            for i, s in enumerate(self.schedulers)
-        ]
-        agg = self.aggregate_throughput()
+        parts = []
+        stats = [self._host_stats(s) for s in self.schedulers]
+        for i, st in enumerate(stats):
+            ptps = (st["prefill_tokens"] / st["prefill_time"]
+                    if st["prefill_time"] else 0.0)
+            dtps = (st["decode_tokens"] / st["decode_time"]
+                    if st["decode_time"] else 0.0)
+            parts.append(
+                f"host{i}: encode: {ptps:.1f} tok/s, decode: {dtps:.1f} tok/s"
+            )
+        agg = self.aggregate_throughput(stats)
         parts.append(
             f"aggregate decode: {agg:.1f} tok/s" if agg else "aggregate: n/a"
         )
         return "\n".join(parts)
 
-    def aggregate_throughput(self) -> Optional[float]:
-        tot_tok = sum(s.engine.stats.decode_tokens for s in self.schedulers)
-        max_t = max(
-            (s.engine.stats.decode_time for s in self.schedulers), default=0.0
-        )
+    def aggregate_throughput(self, stats=None) -> Optional[float]:
+        if stats is None:
+            stats = [self._host_stats(s) for s in self.schedulers]
+        tot_tok = sum(st["decode_tokens"] for st in stats)
+        max_t = max((st["decode_time"] for st in stats), default=0.0)
         if max_t <= 0:
             return None
         # hosts decode concurrently: aggregate = total tokens over the

@@ -16,6 +16,11 @@ Cases:
   dp_hosts  replicated-weights data-parallel hosts: each process runs
             its own scheduler over its process_local_slots range and
             request counts are aggregated across hosts.
+  wire      the submitting process is NOT the decoding process: pid 1
+            serves its scheduler behind the TCP/JSON front door
+            (parallel/wire.py), pid 0 runs NO engine at all — it
+            connects, submits, and receives streamed tokens over the
+            socket, checking them against a local reference run.
 """
 
 import os
@@ -43,10 +48,13 @@ from mlc_llm_tpu.parallel.multihost import (  # noqa: E402
     shard_params_pod,
 )
 
-initialize(f"localhost:{port}", num_processes=nproc, process_id=pid)
-assert jax.process_count() == nproc, jax.process_count()
-assert jax.device_count() == 4 * nproc, jax.device_count()
-assert jax.local_device_count() == 4
+if case != "wire":
+    # the wire case needs no jax.distributed world: requests/tokens
+    # cross a plain TCP socket, not a collective
+    initialize(f"localhost:{port}", num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    assert jax.device_count() == 4 * nproc, jax.device_count()
+    assert jax.local_device_count() == 4
 
 from mlc_llm_tpu.models import (  # noqa: E402
     forward,
@@ -138,6 +146,68 @@ elif case == "dp_hosts":
     total = int(np.asarray(counts).sum())
     assert total >= 3 * nproc, total
     print(f"WORKER_OK pid={pid} case={case} total_tokens={total}", flush=True)
+
+elif case == "wire":
+    import time
+
+    from mlc_llm_tpu.engine import GenerationConfig
+    from mlc_llm_tpu.engine.scheduler import ContinuousBatchingScheduler
+    from mlc_llm_tpu.engine.engine import InferenceEngine
+    from mlc_llm_tpu.parallel.wire import RemoteScheduler, SchedulerServer
+
+    wire_port = int(port) + 1
+    gen = GenerationConfig(max_new_tokens=5, temperature=0.0)
+    prompts = [[1, 2, 3], [4, 5], [6, 7, 8, 9]]
+
+    if pid == 1:
+        # the DECODING host: engine + scheduler behind the front door.
+        eng = InferenceEngine(cfg, params, max_batch=2, max_seq_len=64)
+        sched = ContinuousBatchingScheduler(eng)
+        server = SchedulerServer(sched, port=wire_port).start()
+        # serve until every submitted request has completed (stop tokens
+        # can end a request before max_new_tokens, so count completions,
+        # not decoded tokens)
+        deadline = time.time() + 300
+        while time.time() < deadline and server.completed < len(prompts):
+            time.sleep(0.2)
+        served = eng.stats.decode_tokens
+        done = server.completed
+        server.stop()
+        assert done >= len(prompts), f"served only {done} requests"
+        assert served > 0, "server decoded nothing"
+        print(f"WORKER_OK pid={pid} case={case} served={served}", flush=True)
+    else:
+        # the SUBMITTING host: runs NO engine — tokens must cross the
+        # socket from pid 1. (Reference check runs here: same seed.)
+        client = None
+        for _ in range(600):  # wait for the server to come up
+            try:
+                client = RemoteScheduler(("127.0.0.1", wire_port))
+                break
+            except OSError:
+                time.sleep(0.5)
+        assert client is not None, "could not reach the wire server"
+        streamed = {}
+        reqs = [
+            client.submit(p, gen,
+                          on_token=lambda t, i=i: streamed.setdefault(i, [])
+                          .append(t))
+            for i, p in enumerate(prompts)
+        ]
+        assert client.wait_all(timeout=240), "requests did not complete"
+        st = client.stats()
+        assert st["decode_tokens"] > 0
+        # local greedy reference (no scheduler/engine shared with pid 1)
+        from mlc_llm_tpu.engine.engine import InferenceEngine as _Eng
+
+        ref_eng = _Eng(cfg, params, max_batch=1, max_seq_len=64)
+        for i, (p, r) in enumerate(zip(prompts, reqs)):
+            want = ref_eng.generate([p], gen)[0]
+            assert r.output == want, (i, r.output, want)
+            assert streamed[i] == want, (i, streamed[i], want)
+        client.close()
+        print(f"WORKER_OK pid={pid} case={case} "
+              f"tokens={sum(len(r.output) for r in reqs)}", flush=True)
 
 else:
     raise SystemExit(f"unknown case {case}")

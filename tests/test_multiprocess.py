@@ -70,3 +70,10 @@ def test_two_process_tp_spanning_hosts():
 
 def test_two_process_dp_hosts_local_slots():
     _run_case("dp_hosts")
+
+
+def test_two_process_wire_submitter_is_not_decoder():
+    """Cross-host request transport (round-2 verdict missing #4): the
+    submitting process runs NO engine; prompts go out and tokens come
+    back over the TCP/JSON front door served by the other process."""
+    _run_case("wire")
