@@ -102,6 +102,14 @@ def main(argv=None):
              "--debug-dump-script/--debug-dump-shader analog, "
              "build.py:68-101)",
     )
+    ap.add_argument(
+        "--debug-load-stablehlo", default=None, metavar="NAME=PATH",
+        help="re-inject a hand-edited StableHLO dump: compile PATH and "
+             "execute it as engine program NAME (prefill / decode_w<N> / "
+             "prefill_slot) on the same example args the dump used, "
+             "print output summaries, and exit (the reference's "
+             "--debug-load-script analog, build.py:78-82)",
+    )
     args = ap.parse_args(argv)
 
     session = build_session(args)
@@ -112,6 +120,21 @@ def main(argv=None):
         written = dump_engine_programs(session.engine, args.debug_dump_dir)
         for w in written:
             print(f"wrote {args.debug_dump_dir}/{w}")
+        return
+
+    if args.debug_load_stablehlo:
+        import numpy as _np
+
+        from .debug.dump import reinject_engine_program
+
+        name, _, path = args.debug_load_stablehlo.partition("=")
+        if not path:
+            raise SystemExit("--debug-load-stablehlo wants NAME=PATH")
+        outs = reinject_engine_program(session.engine, name, path)
+        for i, o in enumerate(outs):
+            a = _np.asarray(o)
+            print(f"out[{i}]: shape={a.shape} dtype={a.dtype} "
+                  f"mean={a.astype(_np.float64).mean():.6g}")
         return
 
     if args.try_tokenizer:

@@ -162,3 +162,58 @@ def test_q4_q3_ppl_delta_pinned():
                        window=64, stride=32)
         delta = abs(np.log(q["perplexity"]) - np.log(base["perplexity"]))
         assert delta < bound, (preset, q["perplexity"], base["perplexity"])
+
+
+def test_stablehlo_edit_and_execute():
+    """dump -> hand-edit -> reload -> execute: the analog of the
+    reference's --debug-load-script (build.py:78-82). An edited constant
+    must actually take effect in the re-compiled program."""
+    import jax as _jax
+
+    from mlc_llm_tpu.debug.dump import compile_stablehlo
+
+    low = _jax.jit(lambda x: x + 1.0).lower(jnp.zeros((4,), jnp.float32))
+    text = low.as_text()
+    assert "1.000000e+00" in text
+    run = compile_stablehlo(text)
+    out = run(np.zeros((4,), np.float32))[0]
+    np.testing.assert_allclose(np.asarray(out), 1.0)
+
+    edited = text.replace("1.000000e+00", "3.000000e+00")
+    out2 = compile_stablehlo(edited)(np.zeros((4,), np.float32))[0]
+    np.testing.assert_allclose(np.asarray(out2), 3.0)
+
+
+def test_stablehlo_reinject_engine_program(tmp_path):
+    """Unedited reload of a dumped engine program must reproduce the
+    live program's outputs on the same example args."""
+    import jax as _jax
+
+    from mlc_llm_tpu.debug.dump import (
+        dump_engine_programs,
+        engine_program_args,
+        reinject_engine_program,
+    )
+    from mlc_llm_tpu.engine import InferenceEngine
+    from mlc_llm_tpu.models import get_config, init_random_params
+
+    cfg = get_config("tiny-llama")
+    eng = InferenceEngine(cfg, init_random_params(cfg, "f32", seed=3),
+                          max_batch=2, max_seq_len=64)
+    outdir = str(tmp_path / "dumps")
+    dump_engine_programs(eng, outdir, prefill_bucket=16, compile_too=False)
+
+    import os
+
+    # run the reloaded module FIRST (it device_puts fresh copies); the
+    # live comparison call donates engine.cache
+    got = reinject_engine_program(
+        eng, "prefill", os.path.join(outdir, "prefill.stablehlo.txt"),
+        prefill_bucket=16,
+    )
+    fn, args, kw = engine_program_args(eng, 16)["prefill"]
+    want = _jax.tree_util.tree_leaves(fn(*args, **kw))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=1e-5, rtol=1e-5)
