@@ -18,6 +18,25 @@ from ..quant.groupwise import QuantizedTensor, dequantize
 
 Array = jax.Array
 
+# Largest flattened-m the fused dequant kernels serve in auto mode; above
+# this, XLA full-dequant takes over. The kernels re-read packed weights
+# once per 256-row m-tile, so their weight traffic grows ~m/256 x packed
+# bytes, while the XLA path pays a fixed dequant materialization (packed
+# read + fp write + fp re-read per m-tile) — the kernels' traffic stays
+# lower through m=2048 (8 x packed < 1 x packed + 2(m/512) x fp at q4's
+# 4x expansion), and round 2 measured the XLA path as a 10x TTFT cliff
+# at ctx 512. Bounded (not unlimited) so a pathological m can't starve
+# VMEM-guarded block choices; override per-run with
+# MLC_PREFILL_KERNEL_MAX_M for on-chip A/B.
+_PREFILL_KERNEL_MAX_M = 2048
+
+
+def prefill_kernel_max_m() -> int:
+    import os
+
+    return int(os.environ.get("MLC_PREFILL_KERNEL_MAX_M",
+                              _PREFILL_KERNEL_MAX_M))
+
 
 def _supported_by_pallas(w: QuantizedTensor) -> bool:
     from . import pallas as _p
@@ -40,16 +59,13 @@ def qmatmul(
         for d in x.shape[:-1]:
             m *= d
         # decode/gemv AND prefill-class shapes ride the fused kernels
-        # (weights never materialize in fp). The kernel re-reads packed
-        # weights once per 256-row m-tile — up to m~1024 that traffic
-        # (m/256 x 4.28 GB at 7B) stays well under the MXU time, while
-        # the XLA fallback materializes the full dequantized weights
-        # (measured as the 10x TTFT cliff at ctx 512 in round 2).
+        # (weights never materialize in fp) up to prefill_kernel_max_m —
+        # see the constant's rationale above.
         from . import sharded_params
 
         use_pallas = mode == "pallas" or (
             mode == "auto"
-            and m <= 1024
+            and m <= prefill_kernel_max_m()
             and jax.default_backend() not in ("cpu",)
             and not sharded_params()
             and _supported_by_pallas(w)
@@ -105,7 +121,7 @@ def qmatmul_stacked(
             mode == "pallas"
             or (
                 mode == "auto"
-                and m <= 1024
+                and m <= prefill_kernel_max_m()
                 and jax.default_backend() != "cpu"
                 and not sharded_params()
             )

@@ -53,12 +53,23 @@ def _tuned_table():
         import json
         import os
 
-        path = os.path.join(os.path.dirname(__file__), "tuned_blocks.json")
+        # MLC_TUNED_BLOCKS: alternate table (per-model sweeps, tests)
+        path = os.environ.get("MLC_TUNED_BLOCKS") or os.path.join(
+            os.path.dirname(__file__), "tuned_blocks.json"
+        )
         try:
             with open(path) as f:
-                _TUNED = json.load(f)
+                raw = json.load(f)
         except Exception:
-            _TUNED = {}
+            raw = {}
+        # entries are either the legacy bare [bkw, bn] or the
+        # provenance dict {"blocks": [bkw, bn], "gbps": .., "validated":
+        # bool, ...} written by mlc_llm_tpu.tune's validation protocol —
+        # normalize to the block pair here so the pickers stay simple
+        _TUNED = {
+            k: (v["blocks"] if isinstance(v, dict) else v)
+            for k, v in raw.items()
+        }
     return _TUNED
 
 

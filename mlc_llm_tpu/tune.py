@@ -88,8 +88,30 @@ def _bench_variant(qt, m: int, bkw: int, bn: int, steps=(16, 112)) -> float:
         dm._gp3_bn = orig_gp3
 
 
-def tune_shapes(shapes, quant="q4bf16", ms=(1,), verbose=True):
-    """shapes: [(k, n)]; returns {key: [bkw, bn]} best blocks."""
+# v5e spec HBM bandwidth: a per-call reading implying MORE than this is
+# physically impossible for an HBM-resident weight and means the probe
+# hit a contention/VMEM-pinning artifact (memory: weights <= ~12 MB get
+# pinned in VMEM and read "faster than HBM"). Such readings must never
+# pick the permanent block choice (round-2 verdict weak #6).
+SPEC_BW = 819e9
+_IMPLAUSIBLE_FACTOR = 1.1
+
+
+def _implied_gbps(qt, t: float) -> float:
+    return qt.nbytes() / max(t, 1e-12)
+
+
+def tune_shapes(shapes, quant="q4bf16", ms=(1,), verbose=True,
+                validate: bool = True):
+    """shapes: [(k, n)]; returns {key: entry} best blocks.
+
+    Entries carry provenance: {"blocks": [bkw, bn], "gbps": float,
+    "validated": bool, "runner_up": [bkw, bn] | None}. The validation
+    protocol (round-2 verdict #4): readings implying > spec bandwidth
+    are rejected outright, and the winner must REPRODUCE within 25% in
+    an immediate same-process re-measure — otherwise it is recorded
+    with validated=false (the runtime still uses it, but the sweep log
+    flags it for a re-run on a quieter chip)."""
     from .ops.pallas.dequant_matmul import _largest_divisor, _pick_blocks
     from .quant import quantize, resolve_spec
 
@@ -134,7 +156,8 @@ def tune_shapes(shapes, quant="q4bf16", ms=(1,), verbose=True):
             else:
                 mcands = cands
                 key = f"{m}:{kw}:{n_stored}"
-            best, best_t = None, float("inf")
+            on_tpu = jax.default_backend() not in ("cpu",)
+            ranked = []  # (t, (bkw, bn))
             for bkw, bn in mcands:
                 try:
                     t = _bench_variant(qt, m, bkw, bn)
@@ -142,14 +165,47 @@ def tune_shapes(shapes, quant="q4bf16", ms=(1,), verbose=True):
                     if verbose:
                         print(f"  ({bkw},{bn}): failed {type(e).__name__}")
                     continue
+                gbps = _implied_gbps(qt, t)
+                if on_tpu and gbps > _IMPLAUSIBLE_FACTOR * SPEC_BW:
+                    # faster than the memory system: a probe artifact,
+                    # not a schedule — never let it win
+                    if verbose:
+                        print(f"  k={k} n={n} m={m} blocks=({bkw},{bn}): "
+                              f"REJECTED implausible {gbps/1e9:.0f} GB/s")
+                    continue
                 if verbose:
-                    bytes_ = qt.nbytes()
                     print(f"  k={k} n={n} m={m} blocks=({bkw},{bn}): "
-                          f"{t*1e6:.1f} us ({bytes_/t/1e9:.0f} GB/s)")
-                if t < best_t:
-                    best, best_t = (bkw, bn), t
-            if best:
-                table[key] = list(best)
+                          f"{t*1e6:.1f} us ({gbps/1e9:.0f} GB/s)")
+                ranked.append((t, (bkw, bn)))
+            if not ranked:
+                continue
+            ranked.sort()
+            best_t, best = ranked[0]
+            runner = ranked[1][1] if len(ranked) > 1 else None
+            validated = False
+            if validate:
+                # immediate same-process re-measure of the winner: a
+                # contention artifact won't reproduce; a real schedule
+                # advantage will
+                try:
+                    t2 = _bench_variant(qt, m, best[0], best[1])
+                    validated = (
+                        abs(t2 - best_t) / max(min(t2, best_t), 1e-12) <= 0.25
+                        and not (on_tpu and _implied_gbps(qt, t2)
+                                 > _IMPLAUSIBLE_FACTOR * SPEC_BW)
+                    )
+                    best_t = min(best_t, t2) if validated else best_t
+                except Exception:
+                    validated = False
+                if verbose and not validated:
+                    print(f"  k={k} n={n} m={m}: winner {best} did NOT "
+                          f"reproduce (flagged validated=false)")
+            table[key] = {
+                "blocks": list(best),
+                "gbps": round(_implied_gbps(qt, best_t) / 1e9, 1),
+                "validated": bool(validated),
+                "runner_up": list(runner) if runner else None,
+            }
     return table
 
 

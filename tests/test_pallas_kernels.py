@@ -191,3 +191,65 @@ def test_stacked_prefill_multi_mtile_matches():
             np.asarray(got, np.float32), np.asarray(want, np.float32),
             atol=5e-2, rtol=5e-2,
         )
+
+
+def test_stacked_prefill_m2048_matches():
+    """ctx-2048-class prefill m: the auto-route gate now reaches
+    m=2048 (round-2 verdict #3, the TTFT cliff above m=1024); the
+    kernel's m-tiling must stay exact over 8 full m-tiles."""
+    from mlc_llm_tpu.ops import use_kernels
+    from mlc_llm_tpu.ops.matmul import qmatmul_stacked
+    from mlc_llm_tpu.quant.groupwise import QuantizedTensor
+
+    spec = resolve_spec("q4bf16")
+    L, k, n, m = 1, 256, 256, 2048
+    qts = [quantize(_mk(k, n, seed=31), spec)]
+    stacked = QuantizedTensor(
+        data=jnp.stack([q.data for q in qts]),
+        scale=jnp.stack([q.scale for q in qts]),
+        zero=jnp.stack([q.zero for q in qts]),
+        spec=spec, shape=(k, n),
+    )
+    x = jnp.asarray(_mk(m, k, seed=6), jnp.bfloat16)
+    with use_kernels("pallas"):
+        got = qmatmul_stacked(x, stacked, jnp.int32(0))
+    wd = dequantize(qts[0], jnp.bfloat16)
+    want = jnp.matmul(x, wd, preferred_element_type=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )
+
+
+def test_prefill_kernel_max_m_gate(monkeypatch):
+    """Auto mode must route m=2048 to the fused kernels (and fall back
+    above the bound) — the routing predicate, tested without a TPU."""
+    import jax as _jax
+
+    from mlc_llm_tpu.ops import matmul as mm
+
+    assert mm.prefill_kernel_max_m() == 2048
+    monkeypatch.setenv("MLC_PREFILL_KERNEL_MAX_M", "1024")
+    assert mm.prefill_kernel_max_m() == 1024
+    monkeypatch.delenv("MLC_PREFILL_KERNEL_MAX_M")
+
+    # spy: with a TPU-looking backend and auto mode, m=2048 uses the
+    # kernel path and m=4096 does not
+    calls = []
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(
+        mm, "_supported_by_pallas", lambda w: True
+    )
+    import mlc_llm_tpu.ops.pallas as pallas_pkg
+
+    def fake_kernel(x, w, out_dtype=None):
+        calls.append(x.shape)
+        return jnp.zeros(x.shape[:-1] + (w.shape[1],), jnp.bfloat16)
+
+    monkeypatch.setattr(pallas_pkg, "dequant_matmul", fake_kernel)
+    qt = quantize(_mk(256, 256), resolve_spec("q4bf16"))
+    mm.qmatmul(jnp.zeros((2048, 256), jnp.bfloat16), qt)
+    assert calls and calls[-1] == (2048, 256)
+    n_before = len(calls)
+    mm.qmatmul(jnp.zeros((4096, 256), jnp.bfloat16), qt)
+    assert len(calls) == n_before  # above the bound: XLA path

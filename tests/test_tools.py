@@ -217,3 +217,39 @@ def test_stablehlo_reinject_engine_program(tmp_path):
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_tune_table_provenance_and_reader(tmp_path, monkeypatch):
+    """tune_shapes writes provenance entries ({"blocks", "gbps",
+    "validated", "runner_up"}); the kernel-side reader must accept BOTH
+    that form and the legacy bare [bkw, bn] (round-2 verdict #4:
+    tuned-block provenance protocol)."""
+    import importlib
+    import json
+
+    from mlc_llm_tpu.tune import tune_shapes
+
+    table = tune_shapes([(256, 256)], "q4bf16", ms=(2,), verbose=False)
+    assert table, "sweep produced no entries"
+    (key, entry), = table.items()
+    assert set(entry) >= {"blocks", "gbps", "validated", "runner_up"}
+    assert isinstance(entry["blocks"], list) and len(entry["blocks"]) == 2
+    assert isinstance(entry["validated"], bool)
+
+    # the REAL loader normalizes both entry forms (MLC_TUNED_BLOCKS
+    # points it at a scratch table)
+    dm = importlib.import_module("mlc_llm_tpu.ops.pallas.dequant_matmul")
+    path = tmp_path / "tuned_blocks.json"
+    path.write_text(json.dumps({
+        "2:32:256": {"blocks": [32, 128], "gbps": 500.0,
+                     "validated": True, "runner_up": None},
+        "4:32:256": [32, 256],  # legacy bare form
+    }))
+    monkeypatch.setenv("MLC_TUNED_BLOCKS", str(path))
+    orig = dm._TUNED
+    dm._TUNED = None
+    try:
+        assert dm._tuned_table()["2:32:256"] == [32, 128]
+        assert dm._tuned_table()["4:32:256"] == [32, 256]
+    finally:
+        dm._TUNED = orig
