@@ -142,8 +142,21 @@ def tune_shapes(shapes, quant="q4bf16", ms=(1,), verbose=True,
         cands = sorted(set(cands))
         for m in ms:
             if gp_matmul_supported(spec, qt.scale.shape[0], m):
-                # gp kernel: full-k tiles, sweep bn only
-                mcands = [(kw, bn) for bn in (1024, 512, 384, 256)
+                # gp kernel: sweep bn AND k-steps. Full-k tiles won round
+                # 2's first sweep, but the short-n shapes (wo 4096x4096,
+                # w_out 11264x4096) sat 100-130 GB/s below w_in — deeper
+                # k-pipelining (k_steps 2/4) is the round-3 lever to A/B
+                # (round-2 verdict #2a). Constraints: bkw must keep
+                # whole groups per step (Gt = G/k_steps exact) and the
+                # kernel's 4-word sublane unit.
+                G_ = qt.scale.shape[0]
+                bkws = [kw]
+                for ks in (2, 4):
+                    bkw_ = kw // ks
+                    if kw % ks == 0 and G_ % ks == 0 and bkw_ % 4 == 0:
+                        bkws.append(bkw_)
+                mcands = [(bkw_, bn) for bkw_ in bkws
+                          for bn in (1024, 512, 384, 256)
                           if n_stored % bn == 0]
                 key = f"gp:{m}:{kw}:{n_stored}"
             elif gp3_matmul_supported(spec, qt.scale.shape[0], m):

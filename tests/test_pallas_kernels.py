@@ -253,3 +253,41 @@ def test_prefill_kernel_max_m_gate(monkeypatch):
     n_before = len(calls)
     mm.qmatmul(jnp.zeros((4096, 256), jnp.bfloat16), qt)
     assert len(calls) == n_before  # above the bound: XLA path
+
+
+@pytest.mark.parametrize("m", [1, 4])
+def test_gp_kernel_k_steps_matches(m, tmp_path, monkeypatch):
+    """The gp kernel with k_steps > 1 (bkw = kw/2) must stay exact —
+    round 3 sweeps k-stepping for the short-n shapes (verdict #2a), so
+    correctness at k_steps>1 has to be pinned before a sweep can ever
+    pick it."""
+    import importlib
+    import json
+
+    dm = importlib.import_module("mlc_llm_tpu.ops.pallas.dequant_matmul")
+
+    spec = resolve_spec("q4bf16")
+    k, n = 1024, 256   # kw=128, G=32; bkw=64 -> k_steps=2, Gt=16
+    qt = quantize(_mk(k, n, seed=40), spec)
+    kw, n_stored = qt.data.shape
+    table = tmp_path / "tuned_blocks.json"
+    table.write_text(json.dumps({
+        f"gp:{m}:{kw}:{n_stored}": {"blocks": [kw // 2, 128],
+                                    "gbps": 0.0, "validated": True,
+                                    "runner_up": None},
+    }))
+    monkeypatch.setenv("MLC_TUNED_BLOCKS", str(table))
+    orig = dm._TUNED
+    dm._TUNED = None
+    try:
+        assert dm._gp_blocks(m, kw, n_stored) == (kw // 2, 128)
+        x = jnp.asarray(_mk(m, k, seed=7), jnp.bfloat16)
+        got = dm.dequant_matmul(x, qt)
+        want = jnp.matmul(x, dequantize(qt, jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=5e-2, rtol=5e-2,
+        )
+    finally:
+        dm._TUNED = orig
