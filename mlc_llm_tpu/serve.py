@@ -1,0 +1,144 @@
+"""Serving front door: a continuous-batching scheduler behind TCP/JSON.
+
+The reference ships no server at all (SURVEY.md §2.9 — its runtime is a
+single-session CLI/mobile loop); the north star adds continuous
+batching that scales across hosts. This entry point is the deployable
+form of that stack: one host's InferenceEngine + scheduler served over
+the wire protocol (parallel/wire.py), so remote submitters — another
+host's HostCoordinator, or the bundled client mode — stream tokens
+without running an engine.
+
+  # decode host
+  python -m mlc_llm_tpu.serve --model vicuna-v1-7b --weights dist/v7b \
+      --port 8100 --max-batch 8 --paged
+
+  # anywhere else: submit token ids and stream the generation back
+  python -m mlc_llm_tpu.serve --connect HOST:8100 --prompt-ids 1,2,3
+
+Requests and tokens cross the socket; tensors never do (requests-over-
+DCN, the design ruled normative in parallel/multihost.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _build_engine(args):
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from .engine import InferenceEngine
+    from .models import get_config, init_random_params
+
+    cfg = get_config(args.model)
+    if args.random_weights:
+        params = init_random_params(cfg, args.quantization, seed=0,
+                                    fabricate=args.fabricate)
+    elif args.weights:
+        from .utils.checkpoint import load_params
+
+        params, meta = load_params(args.weights)
+        if meta.get("model") and meta["model"] != cfg.name:
+            print(f"warning: checkpoint was built for {meta['model']}, "
+                  f"requested {cfg.name}", file=sys.stderr)
+    else:
+        raise SystemExit("need --weights DIR or --random-weights")
+
+    kwargs = {}
+    if args.paged:
+        kwargs.update(kv_layout="paged", page_size=args.page_size)
+    return InferenceEngine(
+        cfg, params,
+        max_batch=args.max_batch,
+        max_seq_len=min(cfg.max_seq_len, args.max_seq_len),
+        **kwargs,
+    )
+
+
+def run_server(args) -> None:
+    from .engine.scheduler import ContinuousBatchingScheduler
+    from .parallel.wire import SchedulerServer
+
+    engine = _build_engine(args)
+    sched = ContinuousBatchingScheduler(engine, seed=args.seed or 0)
+    server = SchedulerServer(sched, host=args.host, port=args.port)
+    server.start()
+    print(f"serving {args.model} on {args.host}:{server.port} "
+          f"(max_batch={args.max_batch}"
+          f"{', paged' if args.paged else ''})", flush=True)
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.stop()
+        print(engine.stats.text())
+
+
+def run_client(args) -> None:
+    from .engine.engine import GenerationConfig
+    from .parallel.wire import RemoteScheduler
+
+    host, _, port = args.connect.rpartition(":")
+    client = RemoteScheduler((host or "127.0.0.1", int(port)))
+    prompt = [int(t) for t in args.prompt_ids.split(",") if t.strip()]
+    gen = GenerationConfig(
+        max_new_tokens=args.max_gen_len,
+        temperature=args.temperature,
+        top_p=args.top_p,
+        seed=args.seed,
+    )
+    req = client.submit(prompt, gen,
+                        on_token=lambda t: print(t, flush=True))
+    if not req.wait(args.timeout):
+        raise SystemExit("request timed out")
+    st = client.stats()
+    print(f"# done: {len(req.output)} tokens; server decode "
+          f"{st['decode_tokens']} tok / {st['decode_time']:.2f} s",
+          file=sys.stderr)
+    client.close()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("mlc_llm_tpu.serve")
+    ap.add_argument("--model", default="vicuna-v1-7b")
+    ap.add_argument("--weights", default=None)
+    ap.add_argument("--quantization", default="q4bf16")
+    ap.add_argument("--random-weights", action="store_true")
+    ap.add_argument("--fabricate", action="store_true")
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--max-seq-len", type=int, default=2048)
+    ap.add_argument("--paged", action="store_true",
+                    help="paged KV pool instead of slot-contiguous")
+    ap.add_argument("--page-size", type=int, default=128)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8100)
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--platform", default=None)
+    # client mode
+    ap.add_argument("--connect", default=None, metavar="HOST:PORT",
+                    help="client mode: submit to a running server")
+    ap.add_argument("--prompt-ids", default=None,
+                    help="client mode: comma-separated token ids")
+    ap.add_argument("--max-gen-len", type=int, default=128)
+    ap.add_argument("--temperature", type=float, default=0.7)
+    ap.add_argument("--top-p", type=float, default=0.95)
+    ap.add_argument("--timeout", type=float, default=300.0)
+    args = ap.parse_args(argv)
+
+    if args.connect:
+        if not args.prompt_ids:
+            raise SystemExit("client mode needs --prompt-ids")
+        run_client(args)
+    else:
+        run_server(args)
+
+
+if __name__ == "__main__":
+    main()

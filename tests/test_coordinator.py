@@ -112,3 +112,56 @@ def test_coordinator_mixes_local_and_remote(hosts):
         remote.close()
     finally:
         server.stop()
+
+
+def test_serve_entrypoint_end_to_end():
+    """`python -m mlc_llm_tpu.serve` (server) + `--connect` (client):
+    the deployable form of the wire stack, driven as real subprocesses."""
+    import os
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    srv = subprocess.Popen(
+        [sys.executable, "-m", "mlc_llm_tpu.serve", "--model", "tiny-llama",
+         "--random-weights", "--quantization", "q4bf16", "--platform", "cpu",
+         "--max-batch", "2", "--max-seq-len", "64", "--port", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=repo,
+    )
+    try:
+        # wait for the listener (engine compile takes a while on CPU)
+        deadline = time.time() + 180
+        up = False
+        while time.time() < deadline:
+            try:
+                socket.create_connection(("127.0.0.1", port), 1).close()
+                up = True
+                break
+            except OSError:
+                if srv.poll() is not None:
+                    break
+                time.sleep(1)
+        assert up, f"server never came up (rc={srv.poll()})"
+        out = subprocess.run(
+            [sys.executable, "-m", "mlc_llm_tpu.serve",
+             "--connect", f"127.0.0.1:{port}",
+             "--prompt-ids", "5,6,7", "--temperature", "0",
+             "--max-gen-len", "4"],
+            capture_output=True, text=True, timeout=120, env=env, cwd=repo,
+        )
+        assert out.returncode == 0, out.stdout + out.stderr
+        toks = [int(x) for x in out.stdout.split()]
+        assert 1 <= len(toks) <= 4
+        assert "done" in out.stderr
+    finally:
+        srv.kill()  # exact PID we spawned
+        srv.wait()
