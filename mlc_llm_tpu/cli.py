@@ -17,6 +17,22 @@ import argparse
 import sys
 
 
+def find_artifacts(model: str, quantization: str):
+    """Search conventional checkpoint locations for a built model —
+    the reference CLI's artifact search (cli_main.cc:259-338 probes
+    dist/<model>* candidates). Returns a directory or None."""
+    import os
+
+    for cand in (
+        f"dist/{model}-{quantization}",
+        f"dist/{model}",
+        f"dist/{model}/{quantization}",
+    ):
+        if os.path.isfile(os.path.join(cand, "manifest.json")):
+            return cand
+    return None
+
+
 def build_session(args):
     import jax
 
@@ -29,6 +45,11 @@ def build_session(args):
     from .tokenizer import load_tokenizer
 
     cfg = get_config(args.model)
+    if not args.random_weights and not args.weights:
+        found = find_artifacts(args.model, args.quantization)
+        if found:
+            print(f"using checkpoint {found}", file=sys.stderr)
+            args.weights = found
     if args.random_weights:
         params = init_random_params(cfg, args.quantization, seed=0, fabricate=args.fabricate)
     elif args.weights:
@@ -42,7 +63,11 @@ def build_session(args):
                 file=sys.stderr,
             )
     else:
-        raise SystemExit("need --weights DIR or --random-weights")
+        raise SystemExit(
+            "need --weights DIR or --random-weights (searched "
+            f"dist/{args.model}* — build one with `python -m "
+            "mlc_llm_tpu.build`)"
+        )
 
     engine = InferenceEngine(
         cfg,

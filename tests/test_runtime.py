@@ -216,3 +216,25 @@ def test_incremental_chunks_reassemble_full_prompt():
         # reply that the live session never generated
         assert full.startswith(got) or got.startswith(full), (
             name, got[-80:], full[-80:])
+
+
+def test_cli_artifact_search(tmp_path, capsys, monkeypatch):
+    """Without --weights, the CLI searches dist/<model>* like the
+    reference's FindFile (cli_main.cc:259-338)."""
+    import subprocess
+    import sys
+
+    from mlc_llm_tpu.build import main as build_main
+    from mlc_llm_tpu.cli import main as cli_main
+
+    monkeypatch.chdir(tmp_path)
+    build_main(["--model", "tiny-llama", "--random", "--platform", "cpu",
+                "--quantization", "q4bf16",
+                "-o", str(tmp_path / "dist" / "tiny-llama-q4bf16")])
+    capsys.readouterr()
+    cli_main(["--model", "tiny-llama", "--quantization", "q4bf16",
+              "--platform", "cpu", "--prompt", "hi", "--temperature", "0",
+              "--max-gen-len", "4", "--max-window-size", "64"])
+    out = capsys.readouterr()
+    assert "using checkpoint dist/tiny-llama-q4bf16" in out.err
+    assert "decode:" in out.err  # generated and printed the stats line
