@@ -1,0 +1,166 @@
+"""Prompt-lookup speculative decoding (greedy-exact).
+
+Beyond the reference's capability set (it decodes strictly one token
+per forward pass, cpp/llm_chat.cc:687-715): batch-1 decode on TPU is
+HBM-bandwidth-bound — one forward pass at S=K reads the same packed
+weights as S=1 — so verifying K drafted tokens in one pass emits up to
+K tokens for ~one step's traffic whenever the draft is right.
+
+The drafter is prompt-lookup (n-gram) speculation: propose the tokens
+that followed the most recent occurrence of the current suffix n-gram
+in the sequence's own history. No draft model, no extra weights, and
+exactness is trivial to guarantee: verification accepts a draft token
+only when it equals the model's own greedy argmax, so the emitted
+stream is IDENTICAL to plain greedy decode token for token (tested in
+tests/test_speculative.py). Repetitive text (code, lists, quoting, RAG)
+accepts long runs; adversarially random text degrades to one token per
+pass — the same cost as plain decode using the same program.
+
+Mechanics per pass (slot-contiguous cache, batch 1):
+  feed X = [t_last, d1 .. d_{K-1}]   (S = K static; pad when fewer)
+  logits = forward(X, seq_lens=0, last_only=False)  -> argmax out[0..K-1]
+  a = longest prefix with out[i] == d_{i+1}
+  emit d1..d_a, then out[a] (the model's own token — correction or bonus)
+  advance lengths by a + 1  (the KV rows for X[0..a] are already
+  written in place; rows past a+1 are junk BELOW the valid length
+  — every future pass rewrites its own positions before attending,
+  the engine's standing invariant)
+
+seq_lens=0 keeps device lengths fixed during the pass so acceptance can
+be decided host-side from K token ids (one tiny readback — the same
+per-step readback budget as the plain decode loop).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class NgramDrafter:
+    """Propose continuation tokens by matching the current suffix
+    n-gram against the sequence's own history (prompt + generated)."""
+
+    def __init__(self, history: List[int], max_ngram: int = 3):
+        self.history = list(history)
+        self.max_ngram = max_ngram
+
+    def extend(self, toks: List[int]) -> None:
+        self.history.extend(toks)
+
+    def propose(self, k: int) -> List[int]:
+        """Up to k draft tokens (possibly fewer / empty)."""
+        h = self.history
+        for n in range(min(self.max_ngram, len(h) - 1), 0, -1):
+            suffix = h[-n:]
+            # most recent earlier occurrence of the suffix
+            for i in range(len(h) - n - 1, -1, -1):
+                if h[i:i + n] == suffix:
+                    out = h[i + n: i + n + k]
+                    if out:
+                        return out
+                    break
+        return []
+
+
+def _make_verify(engine):
+    """One jitted verify program per (S=K, window) static combo."""
+    cfg = engine.cfg
+    from ..models.transformer import forward
+
+    @partial(jax.jit, donate_argnames=("cache",),
+             static_argnames=("attn_window",))
+    def verify(params, tokens, cache, attn_window=None):
+        # seq_lens=0: write KV rows in place but do NOT advance lengths
+        # (acceptance is decided host-side afterwards)
+        logits, cache = forward(
+            params, cfg, tokens, cache,
+            seq_lens=jnp.zeros((tokens.shape[0],), jnp.int32),
+            last_only=False, attn_window=attn_window,
+        )
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+    @partial(jax.jit, donate_argnames=("cache",))
+    def advance(cache, n):
+        return dataclasses.replace(cache, lengths=cache.lengths + n)
+
+    return verify, advance
+
+
+def generate_speculative(
+    engine,
+    prompt: List[int],
+    max_new_tokens: int = 128,
+    draft_k: int = 8,
+    stop_tokens: Optional[set] = None,
+    stats: Optional[dict] = None,
+) -> List[int]:
+    """Greedy generation with prompt-lookup speculation (batch 1).
+
+    Emits exactly the plain-greedy token stream. draft_k is the STATIC
+    verify width (one compiled program regardless of how many drafts a
+    pass actually carries — short drafts are padded and their tail
+    ignored).
+    """
+    assert engine.max_batch == 1, "speculative path is batch-1"
+    assert engine.kv_layout == "slot", "speculative path needs slot KV"
+    stop = set(stop_tokens or ()) | set(engine.cfg.stop_tokens)
+    verify, advance = _make_verify(engine)
+
+    logits = engine.prefill([prompt])
+    t_last = int(jnp.argmax(logits[0]))
+    out: List[int] = []
+    if t_last in stop:
+        return out
+    out.append(t_last)
+    drafter = NgramDrafter(list(prompt) + [t_last])
+    cur_len = len(prompt)  # device lengths (t_last not yet fed)
+
+    K = draft_k
+    passes = accepted = 0
+    while len(out) < max_new_tokens:
+        if cur_len + K >= engine.max_seq_len:
+            break  # no room to even verify one block
+        drafts = drafter.propose(K - 1)
+        nfeed = 1 + len(drafts)
+        toks = np.zeros((1, K), np.int32)
+        toks[0, 0] = t_last
+        if drafts:
+            toks[0, 1:nfeed] = drafts
+        window = engine.decode_window(min(cur_len + K, engine.max_seq_len))
+        got, engine.cache = verify(
+            engine.params, jnp.asarray(toks), engine.cache,
+            attn_window=window,
+        )
+        got = np.asarray(got)[0]  # [K] argmax tokens
+        # longest accepted draft prefix
+        a = 0
+        while a < len(drafts) and got[a] == drafts[a]:
+            a += 1
+        emitted = list(drafts[:a]) + [int(got[a])]
+        # KV rows for toks[0 .. a] are valid; advance past them
+        engine.cache = advance(engine.cache, jnp.int32(a + 1))
+        cur_len += a + 1
+        passes += 1
+        accepted += a
+        new_out = []
+        hit_stop = False
+        for t in emitted:
+            if t in stop:
+                hit_stop = True
+                break
+            new_out.append(t)
+        out.extend(new_out[: max_new_tokens - len(out)])
+        if hit_stop or len(out) >= max_new_tokens:
+            break
+        drafter.extend(emitted)
+        t_last = emitted[-1]
+    if stats is not None:
+        stats.update(passes=passes, accepted_drafts=accepted,
+                     tokens=len(out))
+    return out
