@@ -50,7 +50,11 @@ step redpajama 2400 python scripts/bench_model.py \
 # 4) decode profile: where the remaining ms/step sits (verdict #2)
 step profile 2400 python scripts/profile_decode.py
 
-# 5) gp k-step sweep with the validation protocol (verdicts #2a/#4).
+# 5) speculative decoding on chip (host-driven; fewer round trips AND
+#    fewer weight reads per emitted token)
+step spec_bench 1800 python scripts/spec_bench.py
+
+# 6) gp k-step sweep with the validation protocol (verdicts #2a/#4).
 #    Writes tuned_blocks.json — run LAST, then re-bench to see effect.
 step tune_gp 3600 python -m mlc_llm_tpu.tune --model vicuna-v1-7b --m 1
 step bench_post_tune 2400 python bench.py
