@@ -374,8 +374,12 @@ def test_scale_append_crosses_page_boundary():
 
 # ------------------------------------------------------ sharded (TP/DP)
 
-@pytest.mark.parametrize("dtype", [jnp.float32, jnp.int8])
-def test_paged_flash_tp_matches_unsharded(dtype):
+@pytest.mark.parametrize("dtype,kv_heads", [
+    (jnp.float32, 8),   # MHA
+    (jnp.int8, 8),      # MHA + int8 scales sharded with their group
+    (jnp.float32, 4),   # GQA rep=2: per-device Hq=2, Hkv=1 (hb=1, G=4)
+])
+def test_paged_flash_tp_matches_unsharded(dtype, kv_heads):
     """North-star configs 3+4 combined: paged KV under GSPMD sharding
     must stay on the flash kernel via shard_map (head groups on 'tp')
     and match the unsharded gather path step for step. Round-2 verdict
@@ -391,7 +395,7 @@ def test_paged_flash_tp_matches_unsharded(dtype):
 
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
-    cfg = get_config("tiny-llama").replace(num_heads=8, num_kv_heads=8)
+    cfg = get_config("tiny-llama").replace(num_heads=8, num_kv_heads=kv_heads)
     params = init_random_params(cfg, "f32", seed=4)
     rng = np.random.default_rng(5)
     toks = jnp.asarray(
@@ -399,10 +403,10 @@ def test_paged_flash_tp_matches_unsharded(dtype):
     )
 
     def fresh_cache():
-        # head_block=2 -> G=4 head groups, divisible by tp=4
+        # G = kv_heads/head_block = 4 head groups, divisible by tp=4
         c = init_paged_kv_cache(cfg, batch=2, num_pages=24, page_size=8,
                                 max_pages_per_slot=8, dtype=dtype,
-                                head_block=2)
+                                head_block=kv_heads // 4)
         alloc = PageAllocator(24)
         return _with_pages(c, alloc, [alloc.alloc(4), alloc.alloc(4)])
 
