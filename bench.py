@@ -64,7 +64,8 @@ def _probe_backend(timeout_s: float = 240.0, attempts: int = 3) -> str:
             last = (r.stderr or "").strip().splitlines()[-1] if r.stderr else f"rc={r.returncode}"
         except subprocess.TimeoutExpired:
             last = f"backend init timed out after {timeout_s:.0f}s (attempt {i + 1})"
-        time.sleep(5 * (i + 1))
+        if i + 1 < attempts:  # no pointless sleep after the final attempt
+            time.sleep(5 * (i + 1))
     raise RuntimeError(last or "backend probe failed")
 
 

@@ -20,16 +20,31 @@ import sys
 def find_artifacts(model: str, quantization: str):
     """Search conventional checkpoint locations for a built model —
     the reference CLI's artifact search (cli_main.cc:259-338 probes
-    dist/<model>* candidates). Returns a directory or None."""
+    dist/<model>* candidates). A candidate whose manifest records a
+    DIFFERENT quantization than requested is skipped (with a warning),
+    not silently loaded. Returns a directory or None."""
+    import json
     import os
 
     for cand in (
         f"dist/{model}-{quantization}",
-        f"dist/{model}",
         f"dist/{model}/{quantization}",
+        f"dist/{model}",
     ):
-        if os.path.isfile(os.path.join(cand, "manifest.json")):
-            return cand
+        mf = os.path.join(cand, "manifest.json")
+        if not os.path.isfile(mf):
+            continue
+        try:
+            with open(mf) as f:
+                meta = json.load(f).get("meta", {})
+        except (OSError, ValueError):
+            continue
+        built_quant = meta.get("quantization")
+        if built_quant and built_quant != quantization:
+            print(f"skipping {cand}: built as {built_quant}, "
+                  f"requested {quantization}", file=sys.stderr)
+            continue
+        return cand
     return None
 
 

@@ -69,7 +69,13 @@ class NgramDrafter:
 
 
 def _make_verify(engine):
-    """One jitted verify program per (S=K, window) static combo."""
+    """Jitted verify/advance programs, CACHED ON THE ENGINE: a fresh
+    jax.jit wrapper has its own compile cache, so rebuilding per call
+    would re-trace and re-compile every generation (seconds per request
+    on the tunneled chip)."""
+    cached = getattr(engine, "_speculative_programs", None)
+    if cached is not None:
+        return cached
     cfg = engine.cfg
     from ..models.transformer import forward
 
@@ -89,6 +95,7 @@ def _make_verify(engine):
     def advance(cache, n):
         return dataclasses.replace(cache, lengths=cache.lengths + n)
 
+    engine._speculative_programs = (verify, advance)
     return verify, advance
 
 
@@ -124,15 +131,20 @@ def generate_speculative(
     K = draft_k
     passes = accepted = 0
     while len(out) < max_new_tokens:
-        if cur_len + K >= engine.max_seq_len:
-            break  # no room to even verify one block
-        drafts = drafter.propose(K - 1)
+        if cur_len + 1 >= engine.max_seq_len:
+            break  # window genuinely full (plain greedy stops here too)
+        # near the window edge, shrink to single-token passes (a second
+        # S=1 program) instead of stopping K tokens early — keeps the
+        # emitted stream token-for-token equal to plain greedy decode
+        K_eff = K if cur_len + K < engine.max_seq_len else 1
+        drafts = drafter.propose(K_eff - 1) if K_eff > 1 else []
         nfeed = 1 + len(drafts)
-        toks = np.zeros((1, K), np.int32)
+        toks = np.zeros((1, K_eff), np.int32)
         toks[0, 0] = t_last
         if drafts:
             toks[0, 1:nfeed] = drafts
-        window = engine.decode_window(min(cur_len + K, engine.max_seq_len))
+        window = engine.decode_window(
+            min(cur_len + K_eff, engine.max_seq_len))
         got, engine.cache = verify(
             engine.params, jnp.asarray(toks), engine.cache,
             attn_window=window,

@@ -346,7 +346,7 @@ def paged_flash_enabled(dtype) -> bool:
     )
 
 
-def paged_flash_tp_enabled(G: int, Hq: int, B: int, mesh) -> bool:
+def paged_flash_tp_enabled(G: int, Hq: int, mesh) -> bool:
     """Route SHARDED paged decode through shard_map(paged_flash_decode)?
 
     Requires a mesh with a 'tp' axis whose size divides both the pool's
@@ -416,20 +416,23 @@ def paged_flash_decode_tp(
         bprod *= mesh.shape[a]
     b_ax = batch_axes if (batch_axes and B % bprod == 0) else None
 
-    if k_scale is None:
+    # int8 is a dtype property, NOT a scale-shape property: detecting
+    # "dummy" scales by shape[0]==1 would silently drop REAL scales on
+    # a single-head-group pool (G==1) and zero the attention output
+    int8 = k_pages.dtype == jnp.int8
+    if not int8 or k_scale is None:
         # replicated dummies (the kernel only reads them in int8 mode)
         hb = k_pages.shape[4] // head_dim
         k_scale = jnp.zeros((1, 1, 1, hb, ps), jnp.float32)
         v_scale = jnp.zeros((1, 1, 1, ps, hb), jnp.float32)
 
     pool_spec = P(tp_ax, None, None, None, None)
-    sc_rep = k_scale.shape[0] == 1  # dummy scales stay replicated
-    sc_spec = P(None if sc_rep else tp_ax, None, None, None, None)
+    sc_spec = P(tp_ax if int8 else None, None, None, None, None)
 
     def local(q_, kp, vp, ks, vs, tbl, ln, lt):
         return paged_flash_decode(
             q_, kp, vp,
-            None if sc_rep else ks, None if sc_rep else vs,
+            ks if int8 else None, vs if int8 else None,
             tbl, ln, lt,
             num_pages_window=num_pages_window, head_dim=head_dim,
             interpret=interpret,

@@ -265,7 +265,7 @@ def _layer(
         on_cpu = jax.default_backend() == "cpu"
         mesh = current_mesh() if sharded_params() else None
         if (S == 1 and mesh is not None
-                and paged_flash_tp_enabled(ck.shape[0], nh, B, mesh)):
+                and paged_flash_tp_enabled(ck.shape[0], nh, mesh)):
             # GSPMD-sharded params: re-enter the kernel via an explicit
             # shard_map (head groups on 'tp'); without this, sharded
             # paged decode fell back to the gather path, which

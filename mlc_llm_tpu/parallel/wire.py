@@ -222,6 +222,7 @@ class RemoteRequest:
     on_token: Optional[callable] = None
     output: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    error: Optional[str] = None  # set when the connection died mid-flight
     _event: threading.Event = dataclasses.field(
         default_factory=threading.Event
     )
@@ -253,34 +254,51 @@ class RemoteScheduler:
             except (OSError, ValueError):
                 msg = None
             if msg is None:
-                # connection closed: release any waiters
+                # connection closed: FAIL every outstanding request (so
+                # done flips and has_work() drains — a dead server must
+                # not leave the coordinator spinning) and release every
+                # reply waiter (they'll see the missing reply and raise
+                # ConnectionError)
                 with self._lock:
-                    for evt in self._reply_evt.values():
-                        evt.set()
-                    for req in self._reqs.values():
-                        req._event.set()
-                return
-            mtype = msg.get("type")
-            if mtype == "token":
-                req = self._reqs.get(msg["id"])
-                if req is not None:
-                    req.output.append(int(msg["token"]))
-                    if req.on_token is not None:
-                        req.on_token(int(msg["token"]))
-            elif mtype == "done":
-                with self._lock:
-                    req = self._reqs.pop(msg["id"], None)
-                if req is not None:
-                    req.output[:] = [int(t) for t in msg["output"]]
+                    reqs = list(self._reqs.values())
+                    self._reqs.clear()
+                    evts = list(self._reply_evt.values())
+                for req in reqs:
+                    req.error = "connection lost"
                     req.done = True
                     req._event.set()
-            else:  # load / stats / error replies
-                with self._lock:
-                    rid = msg.get("id")
-                    self._replies[rid] = msg
-                    evt = self._reply_evt.get(rid)
-                if evt is not None:
+                for evt in evts:
                     evt.set()
+                return
+            try:
+                self._dispatch(msg)
+            except Exception:
+                # a throwing user on_token callback must not kill the
+                # reader thread (that would hang every other request)
+                pass
+
+    def _dispatch(self, msg: dict) -> None:
+        mtype = msg.get("type")
+        if mtype == "token":
+            req = self._reqs.get(msg["id"])
+            if req is not None:
+                req.output.append(int(msg["token"]))
+                if req.on_token is not None:
+                    req.on_token(int(msg["token"]))
+        elif mtype == "done":
+            with self._lock:
+                req = self._reqs.pop(msg["id"], None)
+            if req is not None:
+                req.output[:] = [int(t) for t in msg["output"]]
+                req.done = True
+                req._event.set()
+        else:  # load / stats / error replies
+            with self._lock:
+                rid = msg.get("id")
+                self._replies[rid] = msg
+                evt = self._reply_evt.get(rid)
+            if evt is not None:
+                evt.set()
 
     def _request_reply(self, msg: dict) -> dict:
         rid = next(self._ids)
@@ -293,7 +311,12 @@ class RemoteScheduler:
                                f"{self.timeout}s")
         with self._lock:
             del self._reply_evt[rid]
-            return self._replies.pop(rid)
+            reply = self._replies.pop(rid, None)
+        if reply is None:
+            # the event was set by the disconnect path, not a reply
+            raise ConnectionError(
+                f"connection lost waiting for {msg['type']} reply")
+        return reply
 
     # ------------------------------------------------------------------- API
     def submit(

@@ -21,7 +21,11 @@ probe() {
 step() {  # step <name> <timeout-s> <cmd...>
   local name="$1" t="$2"; shift 2
   local log="tpu_logs/${name}.log"
-  if [ -s "$log" ] && grep -q "DONE" "$log"; then
+  # skip only on a CLEAN completion: bench.py exits 0 even on a
+  # structured failure (its JSON then carries an "error" field), so a
+  # failed capture must NOT be marked done
+  if [ -s "$log" ] && grep -q "^DONE$" "$log" \
+      && ! grep -q '"error"' "$log"; then
     echo "== $name: already done, skipping"
     return 0
   fi

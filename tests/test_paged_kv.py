@@ -428,9 +428,9 @@ def test_paged_flash_tp_matches_unsharded(dtype, kv_heads):
     sp = shard_params(params, mesh)
     spaged = shard_paged_cache(fresh_cache(), mesh)
     # the gate must actually fire for this shape/mesh
-    assert paged_cache.paged_flash_tp_enabled(4, 8, 2, mesh) is False  # cpu, auto mode
+    assert paged_cache.paged_flash_tp_enabled(4, 8, mesh) is False  # cpu, auto mode
     with use_kernels("pallas"):
-        assert paged_cache.paged_flash_tp_enabled(4, 8, 2, mesh)
+        assert paged_cache.paged_flash_tp_enabled(4, 8, mesh)
 
     hits = []
     orig_tp = paged_cache.paged_flash_decode_tp

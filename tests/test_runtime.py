@@ -238,3 +238,22 @@ def test_cli_artifact_search(tmp_path, capsys, monkeypatch):
     out = capsys.readouterr()
     assert "using checkpoint dist/tiny-llama-q4bf16" in out.err
     assert "decode:" in out.err  # generated and printed the stats line
+
+
+def test_cli_artifact_search_skips_wrong_quantization(tmp_path, capsys, monkeypatch):
+    """A dist/<model> checkpoint built with a different quantization is
+    skipped with a warning, not silently loaded (review finding r3)."""
+    import pytest
+
+    from mlc_llm_tpu.build import main as build_main
+    from mlc_llm_tpu.cli import find_artifacts
+
+    monkeypatch.chdir(tmp_path)
+    build_main(["--model", "tiny-llama", "--random", "--platform", "cpu",
+                "--quantization", "q3bf16",
+                "-o", str(tmp_path / "dist" / "tiny-llama")])
+    capsys.readouterr()
+    assert find_artifacts("tiny-llama", "q4bf16") is None
+    assert "built as q3bf16" in capsys.readouterr().err
+    # matching request finds it
+    assert find_artifacts("tiny-llama", "q3bf16") == "dist/tiny-llama"

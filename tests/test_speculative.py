@@ -64,3 +64,31 @@ def test_speculative_accepts_on_cycled_output(eng):
     if len(set(want)) < len(want):  # output actually repeats tokens
         assert stats["passes"] < len(got), stats  # fewer passes than tokens
         assert stats["accepted_drafts"] > 0, stats
+
+def test_speculative_matches_greedy_at_window_edge():
+    """Generation limited by max_seq_len (not max_new_tokens): the
+    speculative path must shrink to single-token passes near the edge
+    instead of stopping K tokens early (review finding r3)."""
+    cfg = get_config("tiny-llama")
+    params = init_random_params(cfg, "f32", seed=0)
+    eng = InferenceEngine(cfg, params, max_batch=1, max_seq_len=64)
+    prompt = [5, 6, 7, 5, 6, 7, 5, 6, 7, 5]
+    gen = GenerationConfig(max_new_tokens=100, temperature=0.0)
+    want = eng.generate([prompt], gen)[0]
+    stats = {}
+    got = generate_speculative(eng, prompt, max_new_tokens=100,
+                               draft_k=8, stats=stats)
+    assert got == want, (len(got), len(want), stats)
+
+
+def test_speculative_reuses_programs():
+    """The verify/advance jits are cached on the engine — a second call
+    must NOT rebuild them (review finding r3: per-call re-jit put a full
+    XLA compile inside every generation)."""
+    cfg = get_config("tiny-llama")
+    params = init_random_params(cfg, "f32", seed=0)
+    eng = InferenceEngine(cfg, params, max_batch=1, max_seq_len=64)
+    generate_speculative(eng, [1, 2, 3], max_new_tokens=4, draft_k=4)
+    progs = eng._speculative_programs
+    generate_speculative(eng, [1, 2, 3], max_new_tokens=4, draft_k=4)
+    assert eng._speculative_programs is progs
