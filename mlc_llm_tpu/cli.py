@@ -98,7 +98,9 @@ def build_session(args):
         max_window_size=args.max_window_size,
         seed=args.seed,
     )
-    return ChatSession(engine, tok, cfg, chat, conv_template=args.conv_template)
+    return ChatSession(engine, tok, cfg, chat,
+                       conv_template=args.conv_template,
+                       speculative_k=getattr(args, "speculative", None))
 
 
 HELP = """Commands:
@@ -124,6 +126,12 @@ def main(argv=None):
     ap.add_argument("--max-window-size", type=int, default=768)
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--platform", default=None, help="jax platform override (e.g. cpu)")
+    ap.add_argument(
+        "--speculative", type=int, default=None, metavar="K",
+        help="prompt-lookup speculative decoding with K-token verify "
+             "blocks on greedy turns (temperature 0); output stream is "
+             "identical to plain greedy, just fewer forward passes",
+    )
     ap.add_argument("--prompt", default=None, help="one-shot prompt (no REPL)")
     ap.add_argument(
         "--evaluate", action="store_true",

@@ -60,7 +60,12 @@ class ChatSession:
         conv_template: Optional[str] = None,
         slot: int = 0,
         scheduler=None,
+        speculative_k: Optional[int] = None,
     ):
+        """speculative_k: verify-block width for prompt-lookup
+        speculative decoding (engine/speculative.py) — used on greedy
+        turns (temperature == 0) in engine mode; sampled turns and
+        scheduler mode keep the plain decode loop."""
         if scheduler is not None:
             engine = scheduler.engine
             slot = scheduler.reserve_slot()
@@ -70,6 +75,7 @@ class ChatSession:
         self.cfg = cfg
         self.chat = chat
         self.slot = slot
+        self.speculative_k = speculative_k
         self.conv: Conversation = get_conversation(conv_template or cfg.conv_template)
         self.total_len = 0  # tokens currently in the KV cache for this slot
 
@@ -139,6 +145,17 @@ class ChatSession:
         ):
             yield tok
 
+    def _speculative_tokens(self, tokens: List[int], gen: GenerationConfig):
+        assert self.slot == 0, "engine-mode sessions bind slot 0"
+        from .speculative import speculative_stream
+
+        yield from speculative_stream(
+            self.engine, tokens,
+            max_new_tokens=gen.max_new_tokens,
+            draft_k=self.speculative_k,
+            reset=(self.total_len == 0),
+        )
+
     def _scheduler_tokens(self, tokens: List[int], gen: GenerationConfig):
         from collections import deque
 
@@ -187,11 +204,14 @@ class ChatSession:
         stopped = False
         final_text = ""
 
-        source = (
-            self._scheduler_tokens(tokens, gen)
-            if self.scheduler is not None
-            else self._engine_tokens(tokens, gen)
-        )
+        if self.scheduler is not None:
+            source = self._scheduler_tokens(tokens, gen)
+        elif self.speculative_k and gen.temperature == 0.0:
+            # greedy turns ride prompt-lookup speculation (exact same
+            # token stream, fewer forward passes on repetitive text)
+            source = self._speculative_tokens(tokens, gen)
+        else:
+            source = self._engine_tokens(tokens, gen)
         try:
             for tok in source:
                 reply_ids.append(tok)

@@ -99,6 +99,102 @@ def _make_verify(engine):
     return verify, advance
 
 
+def speculative_stream(
+    engine,
+    prompt: List[int],
+    max_new_tokens: int = 128,
+    draft_k: int = 8,
+    stop_tokens: Optional[set] = None,
+    stats: Optional[dict] = None,
+    reset: bool = True,
+):
+    """Greedy generation with prompt-lookup speculation (batch 1),
+    yielding tokens as they are emitted.
+
+    Emits exactly the plain-greedy token stream. draft_k is the STATIC
+    verify width (one compiled program regardless of how many drafts a
+    pass actually carries — short drafts are padded and their tail
+    ignored). reset=False appends to the slot's existing KV state
+    (multi-turn chat), mirroring engine.prefill's contract.
+    """
+    import time
+
+    assert engine.max_batch == 1, "speculative path is batch-1"
+    assert engine.kv_layout == "slot", "speculative path needs slot KV"
+    stop = set(stop_tokens or ()) | set(engine.cfg.stop_tokens)
+    verify, advance = _make_verify(engine)
+
+    logits = engine.prefill([prompt], reset=reset)
+    t_last = int(jnp.argmax(logits[0]))
+    n_out = 0
+    if t_last in stop:
+        if stats is not None:
+            stats.update(passes=0, accepted_drafts=0, tokens=0)
+        return
+    t0 = time.perf_counter()
+    K = draft_k
+    passes = accepted = 0
+    try:
+        yield t_last
+        n_out = 1
+        drafter = NgramDrafter(list(prompt) + [t_last])
+        # device lengths after prefill (t_last not yet fed); one host
+        # readback per turn — append mode starts past the prior turns
+        cur_len = int(np.asarray(engine.cache.lengths)[0])
+
+        while n_out < max_new_tokens:
+            if cur_len + 1 >= engine.max_seq_len:
+                break  # window genuinely full (plain greedy stops too)
+            # near the window edge, shrink to single-token passes (a
+            # second S=1 program) instead of stopping K tokens early —
+            # keeps the stream token-for-token equal to plain greedy
+            K_eff = K if cur_len + K < engine.max_seq_len else 1
+            drafts = drafter.propose(K_eff - 1) if K_eff > 1 else []
+            nfeed = 1 + len(drafts)
+            toks = np.zeros((1, K_eff), np.int32)
+            toks[0, 0] = t_last
+            if drafts:
+                toks[0, 1:nfeed] = drafts
+            window = engine.decode_window(
+                min(cur_len + K_eff, engine.max_seq_len))
+            got, engine.cache = verify(
+                engine.params, jnp.asarray(toks), engine.cache,
+                attn_window=window,
+            )
+            got = np.asarray(got)[0]  # [K] argmax tokens
+            # longest accepted draft prefix
+            a = 0
+            while a < len(drafts) and got[a] == drafts[a]:
+                a += 1
+            emitted = list(drafts[:a]) + [int(got[a])]
+            # KV rows for toks[0 .. a] are valid; advance past them
+            engine.cache = advance(engine.cache, jnp.int32(a + 1))
+            cur_len += a + 1
+            passes += 1
+            accepted += a
+            hit_stop = False
+            for t in emitted:
+                if t in stop:
+                    hit_stop = True
+                    break
+                if n_out < max_new_tokens:
+                    yield t
+                    n_out += 1
+            if hit_stop or n_out >= max_new_tokens:
+                break
+            drafter.extend(emitted)
+            t_last = emitted[-1]
+    finally:
+        # tok/s bookkeeping matches the plain decode loop (stats.text()
+        # powers the CLI /stats line); runs even when the consumer
+        # abandons the stream (stop string found in the session layer)
+        engine.stats.decode_time += time.perf_counter() - t0
+        engine.stats.decode_tokens += max(0, n_out - 1)
+        if stats is not None:
+            stats.update(passes=passes, accepted_drafts=accepted,
+                         tokens=n_out)
+
+
 def generate_speculative(
     engine,
     prompt: List[int],
@@ -106,73 +202,10 @@ def generate_speculative(
     draft_k: int = 8,
     stop_tokens: Optional[set] = None,
     stats: Optional[dict] = None,
+    reset: bool = True,
 ) -> List[int]:
-    """Greedy generation with prompt-lookup speculation (batch 1).
-
-    Emits exactly the plain-greedy token stream. draft_k is the STATIC
-    verify width (one compiled program regardless of how many drafts a
-    pass actually carries — short drafts are padded and their tail
-    ignored).
-    """
-    assert engine.max_batch == 1, "speculative path is batch-1"
-    assert engine.kv_layout == "slot", "speculative path needs slot KV"
-    stop = set(stop_tokens or ()) | set(engine.cfg.stop_tokens)
-    verify, advance = _make_verify(engine)
-
-    logits = engine.prefill([prompt])
-    t_last = int(jnp.argmax(logits[0]))
-    out: List[int] = []
-    if t_last in stop:
-        return out
-    out.append(t_last)
-    drafter = NgramDrafter(list(prompt) + [t_last])
-    cur_len = len(prompt)  # device lengths (t_last not yet fed)
-
-    K = draft_k
-    passes = accepted = 0
-    while len(out) < max_new_tokens:
-        if cur_len + 1 >= engine.max_seq_len:
-            break  # window genuinely full (plain greedy stops here too)
-        # near the window edge, shrink to single-token passes (a second
-        # S=1 program) instead of stopping K tokens early — keeps the
-        # emitted stream token-for-token equal to plain greedy decode
-        K_eff = K if cur_len + K < engine.max_seq_len else 1
-        drafts = drafter.propose(K_eff - 1) if K_eff > 1 else []
-        nfeed = 1 + len(drafts)
-        toks = np.zeros((1, K_eff), np.int32)
-        toks[0, 0] = t_last
-        if drafts:
-            toks[0, 1:nfeed] = drafts
-        window = engine.decode_window(
-            min(cur_len + K_eff, engine.max_seq_len))
-        got, engine.cache = verify(
-            engine.params, jnp.asarray(toks), engine.cache,
-            attn_window=window,
-        )
-        got = np.asarray(got)[0]  # [K] argmax tokens
-        # longest accepted draft prefix
-        a = 0
-        while a < len(drafts) and got[a] == drafts[a]:
-            a += 1
-        emitted = list(drafts[:a]) + [int(got[a])]
-        # KV rows for toks[0 .. a] are valid; advance past them
-        engine.cache = advance(engine.cache, jnp.int32(a + 1))
-        cur_len += a + 1
-        passes += 1
-        accepted += a
-        new_out = []
-        hit_stop = False
-        for t in emitted:
-            if t in stop:
-                hit_stop = True
-                break
-            new_out.append(t)
-        out.extend(new_out[: max_new_tokens - len(out)])
-        if hit_stop or len(out) >= max_new_tokens:
-            break
-        drafter.extend(emitted)
-        t_last = emitted[-1]
-    if stats is not None:
-        stats.update(passes=passes, accepted_drafts=accepted,
-                     tokens=len(out))
-    return out
+    """List-returning wrapper over speculative_stream."""
+    return list(speculative_stream(
+        engine, prompt, max_new_tokens=max_new_tokens, draft_k=draft_k,
+        stop_tokens=stop_tokens, stats=stats, reset=reset,
+    ))

@@ -165,3 +165,27 @@ def test_serve_entrypoint_end_to_end():
     finally:
         srv.kill()  # exact PID we spawned
         srv.wait()
+
+
+def test_wire_disconnect_fails_outstanding_requests(hosts):
+    """Server death mid-flight must FAIL the client's outstanding
+    requests (done=True + error) and turn reply waits into
+    ConnectionError — not leave has_work() spinning forever
+    (review findings r3)."""
+    import time
+
+    from mlc_llm_tpu.parallel.wire import RemoteScheduler, SchedulerServer
+
+    sched = ContinuousBatchingScheduler(hosts[0])
+    server = SchedulerServer(sched).start()
+    client = RemoteScheduler(("127.0.0.1", server.port), timeout=10)
+    # a long request we will cut off mid-generation
+    req = client.submit([1, 2, 3], _greedy(1000))
+    time.sleep(0.3)  # let it get admitted
+    server.stop()
+    assert req.wait(15), "disconnect did not release the request"
+    assert req.done and req.error == "connection lost"
+    assert not client.has_work()
+    with pytest.raises((ConnectionError, TimeoutError, OSError)):
+        client.load()
+    client.close()

@@ -92,3 +92,26 @@ def test_speculative_reuses_programs():
     progs = eng._speculative_programs
     generate_speculative(eng, [1, 2, 3], max_new_tokens=4, draft_k=4)
     assert eng._speculative_programs is progs
+
+
+def test_session_speculative_matches_plain(eng):
+    """ChatSession with speculative_k produces the same reply text as
+    the plain engine-mode session (greedy, multi-turn incl. append)."""
+    from mlc_llm_tpu.engine.session import ChatConfig, ChatSession
+    from mlc_llm_tpu.models import get_config, init_random_params
+    from mlc_llm_tpu.tokenizer import ByteTokenizer
+
+    cfg = get_config("tiny-llama")
+    params = init_random_params(cfg, "f32", seed=0)
+
+    def mk(spec_k):
+        e = InferenceEngine(cfg, params, max_batch=1, max_seq_len=128)
+        chat = ChatConfig(temperature=0.0, max_gen_len=8, mean_gen_len=8,
+                          max_window_size=128, seed=1)
+        return ChatSession(e, ByteTokenizer(), cfg, chat,
+                           conv_template="vicuna_v1.1",
+                           speculative_k=spec_k)
+
+    plain, spec = mk(None), mk(4)
+    for turn in ("Hi", "More please"):
+        assert spec.ask(turn) == plain.ask(turn)
