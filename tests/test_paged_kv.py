@@ -462,3 +462,38 @@ def test_paged_flash_tp_matches_unsharded(dtype, kv_heads):
     # the shard_map kernel route was traced once per decode step (the
     # layer loop is a lax.scan — one trace covers all layers)
     assert len(hits) == 3, hits
+
+
+def test_paged_engine_sharded_end_to_end(monkeypatch):
+    """Full engine path (prefill buckets, scheduler-free generate) with
+    GSPMD-sharded params + a sharded paged pool, on both the gather
+    route and the shard_map kernel route — outputs must equal the
+    unsharded paged engine's."""
+    from mlc_llm_tpu.engine import GenerationConfig, InferenceEngine
+    from mlc_llm_tpu.parallel import make_mesh, shard_paged_cache, shard_params
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = get_config("tiny-llama").replace(num_heads=8, num_kv_heads=8)
+    params = init_random_params(cfg, "f32", seed=6)
+    gen = GenerationConfig(max_new_tokens=6, temperature=0.0)
+    prompts = [[1, 2, 3, 4, 5]]
+
+    ref_eng = InferenceEngine(cfg, params, max_batch=1, max_seq_len=64,
+                              kv_layout="paged", page_size=16,
+                              page_head_block=2)
+    want = ref_eng.generate(prompts, gen)
+
+    mesh = make_mesh(tp=4, dp=1)
+    for interpret_kernel in (False, True):
+        if interpret_kernel:
+            monkeypatch.setenv("MLC_PAGED_TP_INTERPRET", "1")
+        else:
+            monkeypatch.delenv("MLC_PAGED_TP_INTERPRET", raising=False)
+        sp = shard_params(params, mesh)  # sets sharded routing globals
+        eng = InferenceEngine(cfg, sp, max_batch=1, max_seq_len=64,
+                              kv_layout="paged", page_size=16,
+                              page_head_block=2)
+        eng.cache = shard_paged_cache(eng.cache, mesh)
+        got = eng.generate(prompts, gen)
+        assert got == want, (interpret_kernel, got, want)
