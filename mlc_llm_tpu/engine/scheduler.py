@@ -55,6 +55,7 @@ class Request:
     seed: int = 0  # resolved uint32 sampling seed (from gen.seed or OS)
     sampled: int = 0  # tokens sampled so far (PRNG step counter)
     start_len: int = 0  # KV tokens already in the slot before this prompt
+    pf_pos: int = 0  # prompt tokens already prefilled (chunked admission)
 
     @property
     def ttft(self) -> Optional[float]:
@@ -64,17 +65,32 @@ class Request:
 
 
 class ContinuousBatchingScheduler:
-    def __init__(self, engine: InferenceEngine, seed: int = 0, slots=None):
+    def __init__(self, engine: InferenceEngine, seed: int = 0, slots=None,
+                 prefill_chunk: Optional[int] = None):
         """slots: engine slots this scheduler owns (default: all).
         Multi-host serving gives each host's scheduler its
         process_local_slots range (parallel/multihost.py) so request
-        state never migrates across hosts."""
+        state never migrates across hosts.
+
+        prefill_chunk: admit long prompts in chunks of this many tokens,
+        ONE chunk per scheduler step, so active slots keep decoding
+        between chunks (a ctx-2048 admission no longer inserts one long
+        prefill between two decode steps — it inserts N short ones).
+        Must be one of the engine's prefill buckets. None = whole-prompt
+        admission (the round-2 behavior)."""
         self.engine = engine
         self.slots = list(slots) if slots is not None else list(
             range(engine.max_batch)
         )
+        if prefill_chunk is not None and prefill_chunk not in engine.buckets:
+            raise ValueError(
+                f"prefill_chunk {prefill_chunk} must be one of the "
+                f"engine's prefill buckets {engine.buckets}"
+            )
+        self.prefill_chunk = prefill_chunk
         self.pending: Deque[Request] = deque()
         self.active: Dict[int, Request] = {}  # slot -> request
+        self._prefilling: Dict[int, Request] = {}  # slot -> mid-chunk req
         self._ids = itertools.count()
         self._seed_rng = np.random.default_rng(seed)
         self._reserved: set = set()  # slots pinned to sessions
@@ -133,7 +149,8 @@ class ContinuousBatchingScheduler:
         return len(self.active)
 
     def has_work(self) -> bool:
-        return bool(self.pending or self.active or self._pending_tokens)
+        return bool(self.pending or self.active or self._prefilling
+                    or self._pending_tokens)
 
     def run(self) -> None:
         """Drive until all submitted requests complete."""
@@ -145,7 +162,9 @@ class ContinuousBatchingScheduler:
     def _free_slots(self) -> List[int]:
         return [
             s for s in self.slots
-            if s not in self.active and s not in self._reserved
+            if s not in self.active
+            and s not in self._prefilling
+            and s not in self._reserved
         ]
 
     def _admit(self) -> None:
@@ -164,8 +183,9 @@ class ContinuousBatchingScheduler:
                 deferred.append(req)
                 continue
             if req.pin_slot is not None:
-                if req.pin_slot in self.active:
-                    deferred.append(req)  # session slot still generating
+                if req.pin_slot in self.active or (
+                        req.pin_slot in self._prefilling):
+                    deferred.append(req)  # session slot still busy
                     continue
                 slot = req.pin_slot
             elif free:
@@ -226,27 +246,50 @@ class ContinuousBatchingScheduler:
             if not eng.allocator.can_alloc(need):
                 return False
             eng.assign_pages(slot, need)
-        bucket = eng.bucket_for(len(req.prompt))
+        req.slot = slot
+        if (self.prefill_chunk is not None
+                and len(req.prompt) > self.prefill_chunk):
+            # chunked admission: first chunk now, one more per step()
+            # (active slots decode between chunks)
+            req.pf_pos = 0
+            self._prefilling[slot] = req
+            self._prefill_chunk_step(req, slot)
+        else:
+            self._prefill_segment(req, slot, req.prompt, pos=0, final=True)
+        return True
+
+    def _prefill_segment(self, req: Request, slot: int, seg, pos: int,
+                         final: bool) -> None:
+        """Prefill seg (= req.prompt[pos : pos+len(seg)]) into slot; on
+        the final segment, sample the request's first token and move it
+        to the decoding set."""
+        eng = self.engine
+        bucket = eng.bucket_for(len(seg))
         toks = np.zeros((1, bucket), np.int32)
-        toks[0, : len(req.prompt)] = req.prompt
+        toks[0, : len(seg)] = seg
+        append = req.append or pos > 0
         t0 = time.perf_counter()
         logits, eng.cache = eng._prefill_slot(
             eng.params,
             jnp.asarray(toks),
-            jnp.asarray(len(req.prompt), jnp.int32),
+            jnp.asarray(len(seg), jnp.int32),
             eng.cache,
             jnp.asarray(slot, jnp.int32),
-            jnp.asarray(req.append),
-            # start_len is host-known at admission, so the attention
-            # window is a static bucket over history + this prompt
+            jnp.asarray(append),
+            # start_len + pos are host-known at admission, so the
+            # attention window is a static bucket over history + the
+            # prompt prefix ending at this segment
             attn_window=eng.decode_window(
-                min(req.start_len + bucket, eng.max_seq_len)
+                min(req.start_len + pos + bucket, eng.max_seq_len)
             ),
-            # non-append admission starts at position 0: flash-eligible
-            prefill_flash=not req.append,
+            # only a position-0 segment is flash-eligible
+            prefill_flash=not append,
         )
         eng.stats.prefill_time += time.perf_counter() - t0
-        eng.stats.prefill_tokens += len(req.prompt)
+        eng.stats.prefill_tokens += len(seg)
+        req.pf_pos = pos + len(seg)
+        if not final:
+            return
         first = eng._sample_logits(
             logits,
             jax.random.fold_in(jax.random.PRNGKey(req.seed), 0),
@@ -254,10 +297,19 @@ class ContinuousBatchingScheduler:
             top_k=req.gen.top_k,
         )
         req.sampled = 1
-        req.slot = slot
+        self._prefilling.pop(slot, None)
         self.active[slot] = req
         self._first_token[slot] = first  # device array [1]
-        return True
+
+    def _prefill_chunk_step(self, req: Request, slot: int) -> None:
+        """Advance one chunk of a mid-admission request."""
+        chunk = self.prefill_chunk
+        pos = req.pf_pos
+        seg = req.prompt[pos : pos + chunk]
+        self._prefill_segment(
+            req, slot, seg, pos=pos,
+            final=pos + len(seg) >= len(req.prompt),
+        )
 
     def _decode_dispatch(self) -> None:
         eng = self.engine
@@ -303,8 +355,15 @@ class ContinuousBatchingScheduler:
         self._cur_tokens = nxt[:, None]
 
     def step(self) -> None:
-        """One scheduler iteration: admit, decode-dispatch, drain one."""
+        """One scheduler iteration: admit, advance chunked prefills by
+        ONE chunk each, decode-dispatch, drain one."""
+        # snapshot BEFORE admission: a request admitted this step already
+        # ran its first chunk inside _admit_one
+        continuing = list(self._prefilling.items())
         self._admit()
+        for slot, req in continuing:
+            if self._prefilling.get(slot) is req:
+                self._prefill_chunk_step(req, slot)
         if not self.active:
             self._drain(all_remaining=True)
             return
@@ -356,15 +415,22 @@ class ContinuousBatchingScheduler:
     def _finish(self, req: Request) -> None:
         req.done = True
         req.finished_at = time.perf_counter()
-        if req.slot is not None and self.active.get(req.slot) is req:
-            del self.active[req.slot]
-            # reserved (session) slots keep their pages for the next
-            # turn's append-prefill; transient slots recycle immediately
-            if (
-                self.engine.allocator is not None
-                and req.slot not in self._reserved
-            ):
-                self.engine.free_slot_pages(req.slot)
+        owned = False
+        if req.slot is not None:
+            if self._prefilling.get(req.slot) is req:
+                del self._prefilling[req.slot]  # cancelled mid-admission
+                owned = True
+            if self.active.get(req.slot) is req:
+                del self.active[req.slot]
+                owned = True
+        # reserved (session) slots keep their pages for the next
+        # turn's append-prefill; transient slots recycle immediately
+        if (
+            owned
+            and self.engine.allocator is not None
+            and req.slot not in self._reserved
+        ):
+            self.engine.free_slot_pages(req.slot)
 
     def _drain(self, all_remaining: bool = False) -> None:
         """Read back one (or all) pending decode results. Tokens are
