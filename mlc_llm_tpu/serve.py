@@ -65,7 +65,10 @@ def run_server(args) -> None:
     from .parallel.wire import SchedulerServer
 
     engine = _build_engine(args)
-    sched = ContinuousBatchingScheduler(engine, seed=args.seed or 0)
+    sched = ContinuousBatchingScheduler(
+        engine, seed=args.seed or 0,
+        prefill_chunk=args.prefill_chunk,
+    )
     server = SchedulerServer(sched, host=args.host, port=args.port)
     server.start()
     print(f"serving {args.model} on {args.host}:{server.port} "
@@ -117,6 +120,10 @@ def main(argv=None):
     ap.add_argument("--paged", action="store_true",
                     help="paged KV pool instead of slot-contiguous")
     ap.add_argument("--page-size", type=int, default=128)
+    ap.add_argument("--prefill-chunk", type=int, default=None,
+                    help="admit prompts in chunks of this many tokens "
+                         "(a prefill bucket) so active requests keep "
+                         "decoding during long admissions")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8100)
     ap.add_argument("--seed", type=int, default=None)
