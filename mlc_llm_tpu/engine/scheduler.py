@@ -223,18 +223,32 @@ class ContinuousBatchingScheduler:
             # prompt when max_new_tokens >= max_seq_len - 1)
             keep = max(1, limit - req.gen.max_new_tokens - 1)
             req.prompt = req.prompt[-keep:]
-        # the PADDED bucket must also fit: the contiguous cache DUS's
-        # the whole [bucket] block at start_len, and a clamped DUS
-        # start would shift it back over the slot's valid KV
-        fit = max((b for b in eng.buckets if b <= limit), default=None)
-        if fit is None:
-            raise ValueError(
-                f"slot history ({req.start_len} tokens) leaves no room "
-                f"for any prefill bucket (max_seq_len {eng.max_seq_len});"
-                " shift or reset the session window first"
-            )
-        if len(req.prompt) > fit:
-            req.prompt = req.prompt[-fit:]
+        # chunked admission (remainder-first segmentation) can admit any
+        # prompt < limit: the first segment carries len % chunk tokens
+        # (its padded bucket <= chunk <= limit) and every later segment
+        # is an EXACT chunk-aligned write — no padded block can overrun
+        # max_seq_len and clamp its DUS start over valid KV. Requires
+        # room for a full chunk after the history.
+        chunked = (
+            self.prefill_chunk is not None
+            and len(req.prompt) > self.prefill_chunk
+            and limit > self.prefill_chunk
+        )
+        if not chunked:
+            # whole-prompt admission: the PADDED bucket must fit — the
+            # contiguous cache DUS's the whole [bucket] block at
+            # start_len, and a clamped DUS start would shift it back
+            # over the slot's valid KV
+            fit = max((b for b in eng.buckets if b <= limit), default=None)
+            if fit is None:
+                raise ValueError(
+                    f"slot history ({req.start_len} tokens) leaves no "
+                    f"room for any prefill bucket (max_seq_len "
+                    f"{eng.max_seq_len}); shift or reset the session "
+                    "window first"
+                )
+            if len(req.prompt) > fit:
+                req.prompt = req.prompt[-fit:]
         if eng.allocator is not None:
             if not req.append:
                 eng.free_slot_pages(slot)  # recycle a previous tenant's pages
@@ -247,9 +261,8 @@ class ContinuousBatchingScheduler:
                 return False
             eng.assign_pages(slot, need)
         req.slot = slot
-        if (self.prefill_chunk is not None
-                and len(req.prompt) > self.prefill_chunk):
-            # chunked admission: first chunk now, one more per step()
+        if chunked:
+            # chunked admission: first segment now, one more per step()
             # (active slots decode between chunks)
             req.pf_pos = 0
             self._prefilling[slot] = req
@@ -302,10 +315,22 @@ class ContinuousBatchingScheduler:
         self._first_token[slot] = first  # device array [1]
 
     def _prefill_chunk_step(self, req: Request, slot: int) -> None:
-        """Advance one chunk of a mid-admission request."""
+        """Advance one segment of a mid-admission request.
+
+        Remainder-FIRST segmentation: the first segment carries
+        len(prompt) % chunk tokens, every later one is an exact chunk
+        ([pos, pos+chunk) with pos+chunk <= len(prompt)), so only the
+        first segment is ever padded — and its bucket <= chunk is
+        guaranteed to fit. A remainder-LAST scheme corrupted KV: the
+        final padded bucket could overrun max_seq_len, and the clamped
+        DUS start slid the block back over earlier chunks' rows."""
         chunk = self.prefill_chunk
         pos = req.pf_pos
-        seg = req.prompt[pos : pos + chunk]
+        rem = len(req.prompt) % chunk
+        if pos == 0 and rem:
+            seg = req.prompt[:rem]
+        else:
+            seg = req.prompt[pos : pos + chunk]
         self._prefill_segment(
             req, slot, seg, pos=pos,
             final=pos + len(seg) >= len(req.prompt),

@@ -21,10 +21,12 @@ Mechanics per pass (slot-contiguous cache, batch 1):
   logits = forward(X, seq_lens=0, last_only=False)  -> argmax out[0..K-1]
   a = longest prefix with out[i] == d_{i+1}
   emit d1..d_a, then out[a] (the model's own token — correction or bonus)
-  advance lengths by a + 1  (the KV rows for X[0..a] are already
-  written in place; rows past a+1 are junk BELOW the valid length
-  — every future pass rewrites its own positions before attending,
-  the engine's standing invariant)
+  advance lengths by the number of tokens the stream actually CONSUMED
+  (m when the pass continues or ends by the max_new_tokens cap; m+2
+  when a stop token ends it, matching the plain loop's dispatch-ahead
+  feed of the stop token). Rows written past the advanced length are
+  junk BELOW the valid length — every future pass rewrites its own
+  positions before attending, the engine's standing invariant.
 
 seq_lens=0 keeps device lengths fixed during the pass so acceptance can
 be decided host-side from K token ids (one tiny readback — the same
@@ -167,19 +169,55 @@ def speculative_stream(
             while a < len(drafts) and got[a] == drafts[a]:
                 a += 1
             emitted = list(drafts[:a]) + [int(got[a])]
-            # KV rows for toks[0 .. a] are valid; advance past them
-            engine.cache = advance(engine.cache, jnp.int32(a + 1))
-            cur_len += a + 1
             passes += 1
             accepted += a
+            # Decide what this pass CONSUMES before advancing lengths —
+            # advancing by a+1 unconditionally left accepted-but-never-
+            # emitted tokens in the KV, so a later append turn attended
+            # to context plain greedy never had (review finding r3).
+            # Invariant between passes: lengths = prompt + emitted - 1
+            # (the last emitted token is not yet fed). Terminal lengths
+            # mirror the plain decode loop exactly:
+            #   cap end:  lengths = prompt + emitted - 1 (last not fed)
+            #   stop end: lengths = prompt + emitted + 1 (the plain
+            #     loop's dispatch-ahead feeds the stop token itself
+            #     before the stop is detected host-side)
+            m = 0
             hit_stop = False
             for t in emitted:
                 if t in stop:
                     hit_stop = True
                     break
-                if n_out < max_new_tokens:
-                    yield t
-                    n_out += 1
+                if n_out + m >= max_new_tokens:
+                    break
+                m += 1
+            if hit_stop:
+                # rows for t_last + m emitted tokens are valid; the stop
+                # token must ALSO land in KV (plain parity). A stop that
+                # was a draft is already written at row m+1; a stop that
+                # was the model's own token (got[a]) was never fed —
+                # feed it with the S=1 program, like plain's overshoot
+                # dispatch.
+                if m < a:  # stop was drafts[m]: its row is written
+                    engine.cache = advance(engine.cache, jnp.int32(m + 2))
+                    cur_len += m + 2
+                else:      # stop == got[a]
+                    engine.cache = advance(engine.cache, jnp.int32(m + 1))
+                    _, engine.cache = verify(
+                        engine.params,
+                        jnp.asarray([[emitted[m]]], np.int32),
+                        engine.cache,
+                        attn_window=engine.decode_window(
+                            min(cur_len + m + 2, engine.max_seq_len)),
+                    )
+                    engine.cache = advance(engine.cache, jnp.int32(1))
+                    cur_len += m + 2
+            else:
+                engine.cache = advance(engine.cache, jnp.int32(m))
+                cur_len += m
+            for t in emitted[:m]:
+                yield t
+                n_out += 1
             if hit_stop or n_out >= max_new_tokens:
                 break
             drafter.extend(emitted)

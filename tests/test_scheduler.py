@@ -362,3 +362,60 @@ def test_chunked_prefill_rejects_non_bucket():
                           max_batch=1, max_seq_len=64)
     with pytest.raises(ValueError):
         ContinuousBatchingScheduler(eng, prefill_chunk=24)
+
+
+def test_chunked_prefill_unaligned_tail_regression():
+    """Review repro: max_seq_len=40 (a non-power-of-2 tail bucket),
+    chunk=16, 35-token prompt — a remainder-LAST segmentation pads the
+    final segment past max_seq_len, and the clamped DUS start silently
+    overwrites earlier chunks' KV. Remainder-FIRST segmentation must
+    match whole-prompt admission exactly."""
+    from mlc_llm_tpu.engine import GenerationConfig, InferenceEngine
+    from mlc_llm_tpu.engine.scheduler import ContinuousBatchingScheduler
+    from mlc_llm_tpu.models import get_config, init_random_params
+
+    cfg = get_config("tiny-llama")
+    params = init_random_params(cfg, "f32", seed=0)
+    gen = GenerationConfig(max_new_tokens=4, temperature=0.0)
+    prompt = list(np.random.default_rng(7).integers(1, cfg.vocab_size,
+                                                    size=35))
+
+    eng_a = InferenceEngine(cfg, params, max_batch=1, max_seq_len=40)
+    plain = ContinuousBatchingScheduler(eng_a)
+    w = plain.submit(prompt, gen)
+    plain.run()
+
+    eng_b = InferenceEngine(cfg, params, max_batch=1, max_seq_len=40)
+    chunked = ContinuousBatchingScheduler(eng_b, prefill_chunk=16)
+    g = chunked.submit(prompt, gen)
+    chunked.run()
+    assert g.output == w.output, (g.output, w.output)
+
+
+def test_chunked_prefill_admits_past_single_bucket():
+    """Chunked admission must NOT clamp a long append prompt to one
+    bucket (review finding: the whole-prompt fit clamp silently dropped
+    context that per-chunk writes can admit in full)."""
+    from mlc_llm_tpu.engine import GenerationConfig, InferenceEngine
+    from mlc_llm_tpu.engine.scheduler import ContinuousBatchingScheduler
+    from mlc_llm_tpu.models import get_config, init_random_params
+
+    cfg = get_config("tiny-llama").replace(max_seq_len=128)
+    params = init_random_params(cfg, "f32", seed=0)
+    # buckets (16..128): largest single bucket is 128, but with 20
+    # tokens of history only 108 remain -> whole-prompt fit would be 64
+    eng = InferenceEngine(cfg, params, max_batch=1, max_seq_len=128)
+    sched = ContinuousBatchingScheduler(eng, prefill_chunk=16)
+    gen = GenerationConfig(max_new_tokens=3, temperature=0.0)
+    slot = sched.reserve_slot()
+    r0 = sched.submit(list(range(2, 22)), gen, pin_slot=slot)  # history 20+
+    sched.run()
+    hist = int(np.asarray(eng.cache.lengths)[slot])
+    prompt = list(np.random.default_rng(8).integers(
+        1, cfg.vocab_size, size=100))
+    r1 = sched.submit(prompt, gen, pin_slot=slot, append=True)
+    sched.run()
+    assert r1.done
+    # nothing was silently truncated: all 100 prompt tokens landed
+    assert len(r1.prompt) == 100
+    assert int(np.asarray(eng.cache.lengths)[slot]) >= hist + 100

@@ -94,9 +94,12 @@ def test_speculative_reuses_programs():
     assert eng._speculative_programs is progs
 
 
-def test_session_speculative_matches_plain(eng):
+def test_session_speculative_matches_plain():
     """ChatSession with speculative_k produces the same reply text as
-    the plain engine-mode session (greedy, multi-turn incl. append)."""
+    the plain engine-mode session (greedy, multi-turn incl. append).
+    Turns are long enough (max_gen_len=16) that verify passes actually
+    accept drafts — with 8-token turns acceptance was zero and the test
+    was vacuous on the multi-turn KV-length contract (review r3)."""
     from mlc_llm_tpu.engine.session import ChatConfig, ChatSession
     from mlc_llm_tpu.models import get_config, init_random_params
     from mlc_llm_tpu.tokenizer import ByteTokenizer
@@ -105,13 +108,82 @@ def test_session_speculative_matches_plain(eng):
     params = init_random_params(cfg, "f32", seed=0)
 
     def mk(spec_k):
-        e = InferenceEngine(cfg, params, max_batch=1, max_seq_len=128)
-        chat = ChatConfig(temperature=0.0, max_gen_len=8, mean_gen_len=8,
-                          max_window_size=128, seed=1)
+        e = InferenceEngine(cfg, params, max_batch=1, max_seq_len=256)
+        chat = ChatConfig(temperature=0.0, max_gen_len=16, mean_gen_len=16,
+                          max_window_size=256, seed=1)
         return ChatSession(e, ByteTokenizer(), cfg, chat,
                            conv_template="vicuna_v1.1",
-                           speculative_k=spec_k)
+                           speculative_k=spec_k), e
 
-    plain, spec = mk(None), mk(4)
-    for turn in ("Hi", "More please"):
+    (plain, eng_p), (spec, eng_s) = mk(None), mk(4)
+    for turn in ("Hi hi hi hi hi", "More please more please"):
         assert spec.ask(turn) == plain.ask(turn)
+        lp = int(np.asarray(eng_p.cache.lengths)[0])
+        ls = int(np.asarray(eng_s.cache.lengths)[0])
+        assert ls == lp, (ls, lp)
+
+
+def test_speculative_multiturn_append_matches_plain():
+    """Review repro: accepted-but-never-emitted tokens must NOT stay in
+    the KV. Turn 1 is capped mid-pass (max_new_tokens=12 with draft_k=4
+    on a repetitive prompt -> nonzero acceptance), then turn 2 appends
+    (reset=False): token streams AND device lengths must match plain
+    greedy in both turns."""
+    from mlc_llm_tpu.engine.speculative import generate_speculative
+
+    cfg = get_config("tiny-llama")
+    params = init_random_params(cfg, "f32", seed=0)
+    prompt = [5, 6, 7] * 3
+    gen = GenerationConfig(max_new_tokens=12, temperature=0.0)
+
+    eng_p = InferenceEngine(cfg, params, max_batch=1, max_seq_len=128)
+    want1 = eng_p.generate([prompt], gen)[0]
+    len_p = int(np.asarray(eng_p.cache.lengths)[0])
+
+    eng_s = InferenceEngine(cfg, params, max_batch=1, max_seq_len=128)
+    stats = {}
+    got1 = generate_speculative(eng_s, prompt, max_new_tokens=12,
+                                draft_k=4, stats=stats)
+    len_s = int(np.asarray(eng_s.cache.lengths)[0])
+    assert got1 == want1
+    assert stats["accepted_drafts"] > 0, (
+        "repro needs nonzero acceptance; adjust prompt/draft_k"
+    )
+    assert len_s == len_p, (len_s, len_p)
+
+    # turn 2: append
+    turn2 = [9, 9, 5, 6, 7]
+    want2 = eng_p.generate([turn2], gen, reset=False)[0]
+    got2 = generate_speculative(eng_s, turn2, max_new_tokens=12,
+                                draft_k=4, reset=False)
+    assert got2 == want2, (got2, want2)
+
+
+def test_speculative_stop_token_matches_plain():
+    """A stop token hit mid-pass must leave the KV exactly as the plain
+    loop does (the plain loop's dispatch-ahead feeds the stop token
+    before detecting it)."""
+    from mlc_llm_tpu.engine.speculative import generate_speculative
+
+    cfg = get_config("tiny-llama")
+    params = init_random_params(cfg, "f32", seed=0)
+    prompt = [5, 6, 7] * 3
+    base_gen = GenerationConfig(max_new_tokens=12, temperature=0.0)
+
+    probe = InferenceEngine(cfg, params, max_batch=1, max_seq_len=128)
+    base = probe.generate([prompt], base_gen)[0]
+    if len(base) < 4:
+        pytest.skip("need a few tokens to pick a stop from")
+    stop_tok = base[3]  # cut generation at the 4th token
+
+    gen = GenerationConfig(max_new_tokens=12, temperature=0.0,
+                           stop_tokens=(stop_tok,))
+    eng_p = InferenceEngine(cfg, params, max_batch=1, max_seq_len=128)
+    want = eng_p.generate([prompt], gen)[0]
+    eng_s = InferenceEngine(cfg, params, max_batch=1, max_seq_len=128)
+    got = generate_speculative(eng_s, prompt, max_new_tokens=12,
+                               draft_k=4, stop_tokens={stop_tok})
+    assert got == want, (got, want)
+    len_p = int(np.asarray(eng_p.cache.lengths)[0])
+    len_s = int(np.asarray(eng_s.cache.lengths)[0])
+    assert len_s == len_p, (len_s, len_p)
