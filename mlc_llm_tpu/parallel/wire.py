@@ -19,6 +19,8 @@ Protocol: one JSON object per line, UTF-8.
   client -> server:
     {"type": "submit", "id": <client id>, "prompt": [ints],
      "gen": {GenerationConfig fields}}
+    {"type": "cancel", "id"}    -> stop generating; a "done" with the
+                                   tokens produced so far comes back
     {"type": "load", "id"}      -> queue depth (for least-loaded routing)
     {"type": "stats", "id"}     -> engine throughput counters
   server -> client:
@@ -192,6 +194,16 @@ class SchedulerServer:
                         on_token=on_token,
                     )
                     self._live[id(req)] = (req, conn, rid)
+            elif mtype == "cancel":
+                rid = msg["id"]
+                with self._lock:
+                    for key, (req, _conn, req_rid) in list(
+                            self._live.items()):
+                        if req_rid == rid and _conn is conn:
+                            self.scheduler.cancel(req)
+                            # _flush_done sends the terminal message on
+                            # the drive thread (req.done is now set)
+                            break
             elif mtype == "load":
                 with self._lock:
                     load = (len(self.scheduler.pending)
@@ -336,6 +348,11 @@ class RemoteScheduler:
             "gen": _gen_to_dict(gen),
         })
         return req
+
+    def cancel(self, req: RemoteRequest) -> None:
+        """Ask the server to stop generating req; its terminal "done"
+        message (with the tokens produced so far) resolves the handle."""
+        self._conn.send({"type": "cancel", "id": req.id})
 
     def load(self) -> int:
         return int(self._request_reply({"type": "load"})["load"])

@@ -189,3 +189,29 @@ def test_wire_disconnect_fails_outstanding_requests(hosts):
     with pytest.raises((ConnectionError, TimeoutError, OSError)):
         client.load()
     client.close()
+
+
+def test_wire_cancel_mid_generation(hosts):
+    """Client-side cancel stops the server's generation early and the
+    request resolves with the tokens produced so far."""
+    import time
+
+    from mlc_llm_tpu.parallel.wire import RemoteScheduler, SchedulerServer
+
+    server = SchedulerServer(ContinuousBatchingScheduler(hosts[0])).start()
+    try:
+        client = RemoteScheduler(("127.0.0.1", server.port))
+        got = []
+        req = client.submit([1, 2, 3], _greedy(100_000),
+                            on_token=lambda t: got.append(t))
+        deadline = time.time() + 60
+        while not got and time.time() < deadline:
+            time.sleep(0.01)
+        assert got, "no tokens before cancel"
+        client.cancel(req)
+        assert req.wait(30), "cancel did not resolve the request"
+        assert req.done and len(req.output) < 100_000
+        assert client.load() == 0  # slot freed server-side
+        client.close()
+    finally:
+        server.stop()
