@@ -25,6 +25,7 @@ import dataclasses
 import itertools
 import time
 from collections import deque
+from functools import partial
 from typing import Callable, Deque, Dict, List, Optional
 
 import jax
@@ -66,7 +67,8 @@ class Request:
 
 class ContinuousBatchingScheduler:
     def __init__(self, engine: InferenceEngine, seed: int = 0, slots=None,
-                 prefill_chunk: Optional[int] = None):
+                 prefill_chunk: Optional[int] = None,
+                 speculative_k: Optional[int] = None):
         """slots: engine slots this scheduler owns (default: all).
         Multi-host serving gives each host's scheduler its
         process_local_slots range (parallel/multihost.py) so request
@@ -77,7 +79,17 @@ class ContinuousBatchingScheduler:
         between chunks (a ctx-2048 admission no longer inserts one long
         prefill between two decode steps — it inserts N short ones).
         Must be one of the engine's prefill buckets. None = whole-prompt
-        admission (the round-2 behavior)."""
+        admission (the round-2 behavior).
+
+        speculative_k: batched prompt-lookup speculation (see
+        engine/speculative.py): when EVERY active request is greedy and
+        transient (no pinned/append sessions, no reserved slots, slot
+        KV layout, all slots K tokens from the window edge), a decode
+        step verifies K-token draft blocks for the whole batch in one
+        forward pass — emitting up to K tokens per slot per step with
+        the same weight traffic as a plain step. Token streams stay
+        EXACTLY equal to plain greedy decode; steps that do not meet
+        the gate run the plain pipelined path."""
         self.engine = engine
         self.slots = list(slots) if slots is not None else list(
             range(engine.max_batch)
@@ -88,6 +100,13 @@ class ContinuousBatchingScheduler:
                 f"engine's prefill buckets {engine.buckets}"
             )
         self.prefill_chunk = prefill_chunk
+        self.speculative_k = speculative_k
+
+        @partial(jax.jit, donate_argnames=("cache",))
+        def _advance_lengths(cache, adv):
+            return dataclasses.replace(cache, lengths=cache.lengths + adv)
+
+        self._advance_lengths = _advance_lengths
         self.pending: Deque[Request] = deque()
         self.active: Dict[int, Request] = {}  # slot -> request
         self._prefilling: Dict[int, Request] = {}  # slot -> mid-chunk req
@@ -336,6 +355,88 @@ class ContinuousBatchingScheduler:
             final=pos + len(seg) >= len(req.prompt),
         )
 
+    def _speculative_ready(self) -> bool:
+        """Gate for the batched speculative step (see __init__ doc).
+
+        Slot-KV only, no reserved slots (an idle session slot whose
+        frozen KV sits within K rows of max_seq_len would be corrupted
+        by the verify pass's inactive-row writes), every active request
+        greedy + transient, and every slot at least K rows from the
+        window edge (a clamped DUS start would slide the write block
+        over valid KV)."""
+        K = self.speculative_k
+        if not K or not self.active:
+            return False
+        if self.engine.kv_layout != "slot" or self._reserved:
+            return False
+        for req in self.active.values():
+            if (req.gen.temperature != 0.0 or req.pin_slot is not None
+                    or req.append):
+                return False
+            cur = req.start_len + len(req.prompt) + len(req.output) - 1
+            if cur + K > self.engine.max_seq_len:
+                return False
+        return True
+
+    def _decode_dispatch_speculative(self) -> None:
+        """One SYNCHRONOUS batched verify pass (no dispatch-ahead lag:
+        the next pass's inputs depend on this one's acceptance)."""
+        from .speculative import NgramDrafter, _make_verify
+
+        eng = self.engine
+        B = eng.max_batch
+        K = self.speculative_k
+        verify, advance = _make_verify(eng)
+        toks = np.zeros((B, K), np.int32)
+        slot_drafts: Dict[int, List[int]] = {}
+        max_end = 2
+        for slot, req in self.active.items():
+            hist = list(req.prompt) + req.output
+            drafts = NgramDrafter(hist).propose(K - 1)
+            toks[slot, 0] = req.output[-1]  # last emitted, unfed
+            if drafts:
+                toks[slot, 1 : 1 + len(drafts)] = drafts
+            slot_drafts[slot] = drafts
+            cur = req.start_len + len(req.prompt) + len(req.output) - 1
+            max_end = max(max_end, cur + K)
+        got, eng.cache = verify(
+            eng.params, jnp.asarray(toks), eng.cache,
+            attn_window=eng.decode_window(min(max_end, eng.max_seq_len)),
+        )
+        got = np.asarray(got)  # [B, K] greedy tokens — one sync readback
+        adv = np.zeros((B,), np.int32)
+        emitted_total = 0
+        for slot, req in list(self.active.items()):
+            drafts = slot_drafts[slot]
+            a = 0
+            while a < len(drafts) and got[slot, a] == drafts[a]:
+                a += 1
+            emitted = list(drafts[:a]) + [int(got[slot, a])]
+            m = 0
+            for t in emitted:
+                self._emit(req, t)
+                if req.done:
+                    break
+                m += 1
+            # continuing invariant: lengths = prompt + emitted - 1 (the
+            # last emitted token stays unfed). Finished slots are
+            # transient by the gate and reset from position 0 at reuse,
+            # so their terminal advance doesn't need plain's overshoot
+            # semantics.
+            adv[slot] = m
+            emitted_total += m
+        eng.cache = self._advance_lengths(eng.cache, jnp.asarray(adv))
+        self.engine.stats.decode_tokens += emitted_total
+        # keep the plain pipeline's current-token vector in sync: if a
+        # later step falls back to the plain path (e.g. a sampled
+        # request arrives), it must feed each slot's LAST emitted token,
+        # not the one from before the speculative passes
+        cur = np.asarray(self._cur_tokens).copy()
+        for slot, req in self.active.items():
+            if req.output:
+                cur[slot, 0] = req.output[-1]
+        self._cur_tokens = jnp.asarray(cur)
+
     def _decode_dispatch(self) -> None:
         eng = self.engine
         B = eng.max_batch
@@ -394,6 +495,12 @@ class ContinuousBatchingScheduler:
             return
         self._sync_first_tokens()
         t0 = time.perf_counter()
+        if self._speculative_ready():
+            self._drain(all_remaining=True)  # flush plain-mode lag first
+            if self.active:
+                self._decode_dispatch_speculative()
+            self.engine.stats.decode_time += time.perf_counter() - t0
+            return
         self._decode_dispatch()
         self._drain()
         self.engine.stats.decode_time += time.perf_counter() - t0

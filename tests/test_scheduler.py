@@ -419,3 +419,91 @@ def test_chunked_prefill_admits_past_single_bucket():
     # nothing was silently truncated: all 100 prompt tokens landed
     assert len(r1.prompt) == 100
     assert int(np.asarray(eng.cache.lengths)[slot]) >= hist + 100
+
+
+# ------------------------------------------------------ batched speculation
+
+def test_scheduler_speculative_matches_plain():
+    """Batched speculation (all-greedy transient batch) must emit the
+    exact plain-scheduler streams — accepting prompts that draft well
+    and ones that don't — and must actually take fewer decode passes."""
+    from mlc_llm_tpu.engine import GenerationConfig, InferenceEngine
+    from mlc_llm_tpu.engine.scheduler import ContinuousBatchingScheduler
+    from mlc_llm_tpu.models import get_config, init_random_params
+
+    cfg = get_config("tiny-llama")
+    params = init_random_params(cfg, "f32", seed=0)
+    gen = GenerationConfig(max_new_tokens=16, temperature=0.0)
+    prompts = [
+        [5, 6, 7] * 4,                 # repetitive: drafts accept
+        [11, 3, 19, 42, 7, 23, 2, 31][:6],  # arbitrary
+        [9, 8] * 5,
+    ]
+
+    eng_a = InferenceEngine(cfg, params, max_batch=2, max_seq_len=128)
+    plain = ContinuousBatchingScheduler(eng_a)
+    want = [plain.submit(p, gen) for p in prompts]
+    plain.run()
+
+    eng_b = InferenceEngine(cfg, params, max_batch=2, max_seq_len=128)
+    spec = ContinuousBatchingScheduler(eng_b, speculative_k=4)
+    passes = []
+    orig = spec._decode_dispatch_speculative
+    spec._decode_dispatch_speculative = lambda: (passes.append(1), orig())
+    got = [spec.submit(p, gen) for p in prompts]
+    spec.run()
+    for w, g in zip(want, got):
+        assert g.output == w.output, (g.output, w.output)
+    total = sum(len(g.output) for g in got)
+    assert passes, "the speculative path never engaged"
+    # strictly fewer verify passes than tokens would need plain steps
+    assert len(passes) < total, (len(passes), total)
+
+
+def test_scheduler_speculative_falls_back_on_sampled():
+    """A sampled request in the batch must force the plain path (the
+    gate), and everything still completes with correct greedy outputs
+    for the greedy requests."""
+    from mlc_llm_tpu.engine import GenerationConfig, InferenceEngine
+    from mlc_llm_tpu.engine.scheduler import ContinuousBatchingScheduler
+    from mlc_llm_tpu.models import get_config, init_random_params
+
+    cfg = get_config("tiny-llama")
+    params = init_random_params(cfg, "f32", seed=0)
+    eng = InferenceEngine(cfg, params, max_batch=2, max_seq_len=64)
+    sched = ContinuousBatchingScheduler(eng, speculative_k=4)
+    greedy = GenerationConfig(max_new_tokens=8, temperature=0.0)
+    sampled = GenerationConfig(max_new_tokens=8, temperature=0.8, seed=3)
+    r_g = sched.submit([5, 6, 7] * 3, greedy)
+    r_s = sched.submit([1, 2, 3], sampled)
+    sched.run()
+    assert r_g.done and r_s.done and len(r_s.output) > 0
+
+    solo = InferenceEngine(cfg, params, max_batch=1, max_seq_len=64)
+    assert r_g.output == solo.generate([r_g.prompt], greedy)[0]
+
+
+def test_scheduler_speculative_mode_switch_mid_run():
+    """Speculative passes, then a sampled request arrives mid-run: the
+    switch back to the plain pipeline must feed each slot's LAST emitted
+    token (the _cur_tokens sync), keeping greedy streams exact."""
+    from mlc_llm_tpu.engine import GenerationConfig, InferenceEngine
+    from mlc_llm_tpu.engine.scheduler import ContinuousBatchingScheduler
+    from mlc_llm_tpu.models import get_config, init_random_params
+
+    cfg = get_config("tiny-llama")
+    params = init_random_params(cfg, "f32", seed=0)
+    eng = InferenceEngine(cfg, params, max_batch=2, max_seq_len=128)
+    sched = ContinuousBatchingScheduler(eng, speculative_k=4)
+    greedy = GenerationConfig(max_new_tokens=20, temperature=0.0)
+    r_g = sched.submit([5, 6, 7] * 4, greedy)
+    for _ in range(3):  # a few speculative passes
+        sched.step()
+    assert not r_g.done
+    sampled = GenerationConfig(max_new_tokens=6, temperature=0.9, seed=5)
+    r_s = sched.submit([4, 4], sampled)  # flips the gate to plain
+    sched.run()
+    assert r_g.done and r_s.done
+
+    solo = InferenceEngine(cfg, params, max_batch=1, max_seq_len=128)
+    assert r_g.output == solo.generate([r_g.prompt], greedy)[0]
