@@ -68,6 +68,7 @@ def run_server(args) -> None:
     sched = ContinuousBatchingScheduler(
         engine, seed=args.seed or 0,
         prefill_chunk=args.prefill_chunk,
+        speculative_k=args.speculative,
     )
     server = SchedulerServer(sched, host=args.host, port=args.port)
     server.start()
@@ -124,6 +125,11 @@ def main(argv=None):
                     help="admit prompts in chunks of this many tokens "
                          "(a prefill bucket) so active requests keep "
                          "decoding during long admissions")
+    ap.add_argument("--speculative", type=int, default=None, metavar="K",
+                    help="batched prompt-lookup speculation with K-token "
+                         "verify blocks on all-greedy transient batches "
+                         "(exact greedy output, up to K tokens per slot "
+                         "per pass)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8100)
     ap.add_argument("--seed", type=int, default=None)
