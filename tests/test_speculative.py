@@ -187,3 +187,26 @@ def test_speculative_stop_token_matches_plain():
     len_p = int(np.asarray(eng_p.cache.lengths)[0])
     len_s = int(np.asarray(eng_s.cache.lengths)[0])
     assert len_s == len_p, (len_s, len_p)
+
+
+def test_speculative_matches_plain_int8_kv():
+    """Speculation must hold its exactness with an int8 KV cache: the
+    per-token absmax quantization is identical whether a token is
+    written by an S=K verify pass or an S=1 decode step."""
+    from mlc_llm_tpu.engine.speculative import generate_speculative
+
+    cfg = get_config("tiny-llama")
+    params = init_random_params(cfg, "f32", seed=0)
+    import jax.numpy as jnp
+
+    gen = GenerationConfig(max_new_tokens=16, temperature=0.0)
+    prompt = [5, 6, 7] * 3
+    eng_p = InferenceEngine(cfg, params, max_batch=1, max_seq_len=128,
+                            cache_dtype=jnp.int8)
+    want = eng_p.generate([prompt], gen)[0]
+    eng_s = InferenceEngine(cfg, params, max_batch=1, max_seq_len=128,
+                            cache_dtype=jnp.int8)
+    stats = {}
+    got = generate_speculative(eng_s, prompt, max_new_tokens=16,
+                               draft_k=4, stats=stats)
+    assert got == want, (got, want, stats)
