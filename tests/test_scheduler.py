@@ -507,3 +507,30 @@ def test_scheduler_speculative_mode_switch_mid_run():
 
     solo = InferenceEngine(cfg, params, max_batch=1, max_seq_len=128)
     assert r_g.output == solo.generate([r_g.prompt], greedy)[0]
+
+
+def test_chunked_admission_with_batched_speculation():
+    """Both serving features on at once: long prompts admitted in
+    chunks, then decoded with batched speculation — streams must still
+    equal the plain scheduler's."""
+    from mlc_llm_tpu.engine import GenerationConfig, InferenceEngine
+    from mlc_llm_tpu.engine.scheduler import ContinuousBatchingScheduler
+    from mlc_llm_tpu.models import get_config, init_random_params
+
+    cfg = get_config("tiny-llama")
+    params = init_random_params(cfg, "f32", seed=0)
+    gen = GenerationConfig(max_new_tokens=12, temperature=0.0)
+    prompts = [([5, 6, 7] * 16)[:40], list(range(2, 40))]
+
+    eng_a = InferenceEngine(cfg, params, max_batch=2, max_seq_len=128)
+    plain = ContinuousBatchingScheduler(eng_a)
+    want = [plain.submit(p, gen) for p in prompts]
+    plain.run()
+
+    eng_b = InferenceEngine(cfg, params, max_batch=2, max_seq_len=128)
+    combo = ContinuousBatchingScheduler(eng_b, prefill_chunk=16,
+                                        speculative_k=4)
+    got = [combo.submit(p, gen) for p in prompts]
+    combo.run()
+    for w, g in zip(want, got):
+        assert g.output == w.output, (g.output, w.output)
