@@ -62,6 +62,7 @@ class InferenceEngine:
         page_size: int = 128,
         num_pages: Optional[int] = None,
         page_head_block: Optional[int] = None,
+        prefix_cache_pages: Optional[int] = None,
     ):
         """kv_layout: "slot" = slot-contiguous [B, Smax] KV (small-batch
         fast path); "paged" = shared page pool + per-slot page tables
@@ -92,6 +93,7 @@ class InferenceEngine:
         self.kv_layout = kv_layout
         self.page_size = page_size
         self.allocator = None
+        self.prefix_cache = None
         if kv_layout == "paged":
             from ..models.paged_cache import PageAllocator, init_paged_kv_cache
 
@@ -110,6 +112,18 @@ class InferenceEngine:
                 max_pages_per_slot=pages_per_slot, dtype=cache_dtype,
                 head_block=page_head_block,
             )
+            if prefix_cache_pages:
+                from ..models.paged_cache import PrefixCache
+
+                # page-granular automatic prefix caching: requests that
+                # share a prompt prefix reuse its KV pages instead of
+                # re-prefilling them (scheduler admission integrates it)
+                self.prefix_cache = PrefixCache(
+                    self.allocator, page_size,
+                    max_pages=prefix_cache_pages,
+                )
+        elif prefix_cache_pages:
+            raise ValueError("prefix_cache_pages requires kv_layout='paged'")
         else:
             self.cache = init_kv_cache(cfg, max_batch, self.max_seq_len, cache_dtype)
 
@@ -259,6 +273,19 @@ class InferenceEngine:
 
             return _dc.replace(cache, lengths=jnp.where(keep_mask, cache.lengths, 0))
 
+        @partial(jax.jit, donate_argnames=("cache",))
+        def _set_length(cache, slot, value):
+            import dataclasses as _dc
+
+            return _dc.replace(
+                cache,
+                lengths=jax.lax.dynamic_update_slice_in_dim(
+                    cache.lengths, value, slot, axis=0
+                ),
+            )
+
+        self._set_length = _set_length
+
         self._prefill = _prefill
         def _prefill_slot_paged_entry(params, tokens, seq_len, cache, slot,
                                       append=False, attn_window=None,
@@ -357,6 +384,24 @@ class InferenceEngine:
         self._table_np[slot, : len(row)] = row
         if push:
             self._push_table()
+
+    def adopt_shared_pages(self, slot: int, pages) -> None:
+        """Point slot's page table at already-allocated (prefix-cache)
+        pages, taking a reference on each; the slot's own free path
+        (free_slot_pages) later just drops that reference."""
+        self.allocator.ref(pages)
+        self._slot_pages[slot] = list(pages)
+        self._table_np[slot, :] = 0
+        self._table_np[slot, : len(pages)] = pages
+        self._push_table()
+
+    def set_slot_length(self, slot: int, n: int) -> None:
+        """Set one slot's device-resident KV length (prefix adoption:
+        the shared pages already hold n valid positions)."""
+        self.cache = self._set_length(
+            self.cache, jnp.asarray(slot, jnp.int32),
+            jnp.asarray([n], jnp.int32),
+        )
 
     def free_slot_pages(self, slot: int, push: bool = True) -> None:
         pages = self._slot_pages.get(slot)

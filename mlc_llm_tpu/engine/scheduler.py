@@ -57,6 +57,10 @@ class Request:
     sampled: int = 0  # tokens sampled so far (PRNG step counter)
     start_len: int = 0  # KV tokens already in the slot before this prompt
     pf_pos: int = 0  # prompt tokens already prefilled (chunked admission)
+    # prefix-cache adoption: tokens KNOWN to precede req.prompt in the
+    # slot (req.prompt is trimmed to the un-cached suffix; start_len
+    # covers these). Used to register the full prompt at prefill end.
+    prefix_tokens: List[int] = dataclasses.field(default_factory=list)
 
     @property
     def ttft(self) -> Optional[float]:
@@ -275,10 +279,39 @@ class ContinuousBatchingScheduler:
                 req.start_len + len(req.prompt) + req.gen.max_new_tokens + 1,
                 eng.max_seq_len,
             )
-            need = eng.pages_needed(slot, total)
-            if not eng.allocator.can_alloc(need):
-                return False
-            eng.assign_pages(slot, need)
+            # prefix cache: reuse the KV pages of the longest cached
+            # page-aligned prompt prefix; only the suffix gets prefilled
+            shared, shared_len = [], 0
+            if not req.append and eng.prefix_cache is not None:
+                shared, shared_len = eng.prefix_cache.lookup(req.prompt)
+            want = -(-total // eng.page_size)
+            while True:
+                need = max(0, want - len(eng._slot_pages[slot])
+                           - len(shared))
+                if eng.allocator.can_alloc(need):
+                    break
+                # pool pressure: shed cached prefixes before deferring.
+                # Eviction can free the very pages we just looked up, so
+                # re-lookup afterwards (entries hold their own refs;
+                # OUR list is unreferenced until adoption).
+                if eng.prefix_cache is None or not eng.prefix_cache.evict(1):
+                    return False
+                if shared_len:
+                    shared, shared_len = eng.prefix_cache.lookup(req.prompt)
+            if shared_len:
+                eng.adopt_shared_pages(slot, shared)
+                eng.set_slot_length(slot, shared_len)
+                req.start_len = shared_len
+                req.prefix_tokens = req.prompt[:shared_len]
+                req.prompt = req.prompt[shared_len:]  # suffix only
+                # the fit/chunked decisions above used the full length —
+                # conservative for the (shorter) suffix, still valid
+                chunked = (
+                    self.prefill_chunk is not None
+                    and len(req.prompt) > self.prefill_chunk
+                    and (eng.max_seq_len - req.start_len) > self.prefill_chunk
+                )
+            eng.assign_pages(slot, eng.pages_needed(slot, total))
         req.slot = slot
         if chunked:
             # chunked admission: first segment now, one more per step()
@@ -299,7 +332,10 @@ class ContinuousBatchingScheduler:
         bucket = eng.bucket_for(len(seg))
         toks = np.zeros((1, bucket), np.int32)
         toks[0, : len(seg)] = seg
-        append = req.append or pos > 0
+        # append-like whenever the slot already holds valid KV below the
+        # segment: a real session append, a later chunk, or an adopted
+        # prefix-cache prefix (start_len covers it)
+        append = req.append or pos > 0 or bool(req.prefix_tokens)
         t0 = time.perf_counter()
         logits, eng.cache = eng._prefill_slot(
             eng.params,
@@ -332,6 +368,12 @@ class ContinuousBatchingScheduler:
         self._prefilling.pop(slot, None)
         self.active[slot] = req
         self._first_token[slot] = first  # device array [1]
+        if not req.append and eng.prefix_cache is not None:
+            # the slot now holds valid KV for the ENTIRE prompt from
+            # position 0 — register its page-aligned prefixes for reuse
+            eng.prefix_cache.insert(
+                req.prefix_tokens + req.prompt, eng._slot_pages[slot]
+            )
 
     def _prefill_chunk_step(self, req: Request, slot: int) -> None:
         """Advance one segment of a mid-admission request.

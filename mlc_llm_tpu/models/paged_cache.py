@@ -460,15 +460,20 @@ def paged_flash_decode_tp(
 # ------------------------------------------------------------- allocator
 
 class PageAllocator:
-    """Host-side free-list page allocator.
+    """Host-side refcounted free-list page allocator.
 
     Page 0 is reserved as the null page (page_table's padding value),
-    so unused table entries always reference valid storage."""
+    so unused table entries always reference valid storage.
+
+    Refcounts enable PREFIX SHARING: a page can back multiple slots'
+    page tables (and a PrefixCache entry) at once; free() decrements and
+    only returns the page to the pool at zero."""
 
     def __init__(self, num_pages: int):
         assert num_pages >= 2
         self.num_pages = num_pages
         self._free = list(range(num_pages - 1, 0, -1))  # stack; 0 reserved
+        self._refs = [0] * num_pages
 
     @property
     def free_pages(self) -> int:
@@ -480,9 +485,115 @@ class PageAllocator:
     def alloc(self, n: int):
         if n > len(self._free):
             raise MemoryError(f"paged KV: need {n} pages, {len(self._free)} free")
-        return [self._free.pop() for _ in range(n)]
+        pages = [self._free.pop() for _ in range(n)]
+        for p in pages:
+            self._refs[p] = 1
+        return pages
+
+    def ref(self, pages) -> None:
+        """Take an additional reference on already-allocated pages."""
+        for p in pages:
+            assert 0 < p < self.num_pages and self._refs[p] > 0, p
+            self._refs[p] += 1
 
     def free(self, pages) -> None:
         for p in pages:
             assert 0 < p < self.num_pages
-            self._free.append(p)
+            assert self._refs[p] > 0, f"double free of page {p}"
+            self._refs[p] -= 1
+            if self._refs[p] == 0:
+                self._free.append(p)
+
+
+class PrefixCache:
+    """Page-granular prompt-prefix cache (automatic prefix caching).
+
+    Absent in the reference (its runtime serves one session and clears
+    the cache between them, llm_chat.cc:507-516); for batch serving the
+    dominant TTFT cost of requests sharing a system prompt is
+    re-prefilling that prefix. Pages make sharing free: a cached prefix
+    is just a list of page ids that multiple slots' page tables (and
+    this cache) reference concurrently — and because entries only cover
+    FULL pages, a new request's suffix prefill always starts writing in
+    a fresh page, so no copy-on-write is ever needed.
+
+    Entries are keyed by the exact token tuple of each page-aligned
+    prefix; lookup probes aligned lengths longest-first. The cache holds
+    its own reference on every entry's pages (they survive slot
+    recycling); evict() releases LRU entries — the scheduler calls it
+    under pool pressure before deferring admission."""
+
+    def __init__(self, allocator: PageAllocator, page_size: int,
+                 max_pages: Optional[int] = None):
+        self.allocator = allocator
+        self.page_size = page_size
+        self.max_pages = max_pages
+        self._entries: dict = {}  # token tuple -> [pages]
+        self._clock = 0
+        self._last_used: dict = {}
+        self.hits = 0
+        self.misses = 0
+
+    @property
+    def pages_held(self) -> int:
+        """UNIQUE pages referenced by the cache (nested prefix entries
+        share their underlying pages)."""
+        return len({p for pages in self._entries.values() for p in pages})
+
+    def lookup(self, prompt) -> tuple:
+        """(shared_pages, shared_len): the longest cached page-aligned
+        prefix STRICTLY shorter than the prompt (the last prompt token
+        must still be prefilled to produce first-token logits)."""
+        ps = self.page_size
+        max_len = (len(prompt) - 1) // ps * ps
+        for L in range(max_len, 0, -ps):
+            key = tuple(prompt[:L])
+            pages = self._entries.get(key)
+            if pages is not None:
+                self._clock += 1
+                self._last_used[key] = self._clock
+                self.hits += 1
+                return list(pages), L
+        self.misses += 1
+        return [], 0
+
+    def insert(self, prompt, slot_pages) -> None:
+        """Register every page-aligned prefix of a fully-prefilled
+        prompt (slot_pages = the slot's page-id list, page i backing
+        positions [i*ps, (i+1)*ps))."""
+        ps = self.page_size
+        for L in range(ps, len(prompt) + 1, ps):
+            key = tuple(prompt[:L])
+            if key in self._entries:
+                continue
+            npages = L // ps
+            if self.max_pages is not None:
+                held = {p for ps_ in self._entries.values() for p in ps_}
+                new = len(set(slot_pages[:npages]) - held)
+                while (len(held) + new > self.max_pages and self._entries):
+                    if not self.evict(1):
+                        break
+                    held = {p for ps_ in self._entries.values() for p in ps_}
+                    new = len(set(slot_pages[:npages]) - held)
+                if len(held) + new > self.max_pages:
+                    return
+            pages = list(slot_pages[:npages])
+            self.allocator.ref(pages)
+            self._entries[key] = pages
+            self._clock += 1
+            self._last_used[key] = self._clock
+
+    def evict(self, n_entries: int = 1) -> int:
+        """Release up to n_entries LRU entries; returns how many."""
+        done = 0
+        for key in sorted(self._entries, key=lambda k: self._last_used[k]):
+            if done >= n_entries:
+                break
+            self.allocator.free(self._entries.pop(key))
+            self._last_used.pop(key, None)
+            done += 1
+        return done
+
+    def clear(self) -> None:
+        while self._entries:
+            self.evict(len(self._entries))

@@ -497,3 +497,121 @@ def test_paged_engine_sharded_end_to_end(monkeypatch):
         eng.cache = shard_paged_cache(eng.cache, mesh)
         got = eng.generate(prompts, gen)
         assert got == want, (interpret_kernel, got, want)
+
+
+# -------------------------------------------------------- prefix cache
+
+def _mk_prefix_setup(prefix_pages=64, num_pages=61, max_batch=2,
+                     prefill_chunk=None):
+    from mlc_llm_tpu.engine import InferenceEngine
+    from mlc_llm_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+    cfg = get_config("tiny-llama")
+    params = init_random_params(cfg, "f32", seed=0)
+    eng = InferenceEngine(cfg, params, max_batch=max_batch, max_seq_len=64,
+                          kv_layout="paged", page_size=8,
+                          num_pages=num_pages,
+                          prefix_cache_pages=prefix_pages)
+    sched = ContinuousBatchingScheduler(eng, prefill_chunk=prefill_chunk)
+    return cfg, params, eng, sched
+
+
+def test_prefix_cache_reuses_pages_exactly():
+    """Requests sharing a system prompt: the second one must prefill
+    ONLY the un-cached suffix and still produce the no-cache outputs."""
+    from mlc_llm_tpu.engine import GenerationConfig, InferenceEngine
+    from mlc_llm_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+    cfg, params, eng, sched = _mk_prefix_setup()
+    gen = GenerationConfig(max_new_tokens=5, temperature=0.0)
+    system = list(np.random.default_rng(4).integers(1, 200, size=24))
+    prompts = [system + [7, 8, 9], system + [11, 12], system + [7, 8, 9]]
+
+    # no-cache reference
+    ref_eng = InferenceEngine(cfg, params, max_batch=2, max_seq_len=64,
+                              kv_layout="paged", page_size=8)
+    ref = ContinuousBatchingScheduler(ref_eng)
+    want = [ref.submit(p, gen) for p in prompts]
+    ref.run()
+
+    # sequential submits so each admission can hit the previous insert
+    got = []
+    for p in prompts:
+        r = sched.submit(p, gen)
+        sched.run()
+        got.append(r)
+    for w, g in zip(want, got):
+        assert g.output == w.output, (g.output, w.output)
+    # requests 2+3 adopted the 24-token (3-page) prefix
+    assert eng.prefix_cache.hits >= 2, (eng.prefix_cache.hits,
+                                        eng.prefix_cache.misses)
+    assert got[1].start_len == 24 and len(got[1].prompt) == 2
+    assert got[1].prefix_tokens == system
+    # prefill token stats: full prompt once, suffixes after
+    assert eng.stats.prefill_tokens < sum(len(p) for p in prompts)
+
+
+def test_prefix_cache_refcounts_survive_slot_recycling():
+    """Cached pages outlive the slots that created them; clearing the
+    cache returns the pool to pristine."""
+    from mlc_llm_tpu.engine import GenerationConfig
+
+    cfg, params, eng, sched = _mk_prefix_setup()
+    gen = GenerationConfig(max_new_tokens=4, temperature=0.0)
+    system = list(range(2, 26))  # 24 tokens = 3 pages
+    for i in range(4):  # more requests than slots -> recycling
+        sched.submit(system + [30 + i], gen)
+    sched.run()
+    held = eng.prefix_cache.pages_held
+    assert held > 0
+    # all slots done: only the cache holds pages
+    assert eng.allocator.free_pages == eng.num_pages - 1 - held
+    eng.prefix_cache.clear()
+    assert eng.allocator.free_pages == eng.num_pages - 1
+
+
+def test_prefix_cache_evicts_under_pool_pressure():
+    """When the pool can't host a new request, cached prefixes are
+    evicted (LRU) instead of deferring forever."""
+    from mlc_llm_tpu.engine import GenerationConfig
+
+    # pool of 18 usable pages; each request wants ~5 pages
+    cfg, params, eng, sched = _mk_prefix_setup(num_pages=19,
+                                               max_batch=2)
+    gen = GenerationConfig(max_new_tokens=4, temperature=0.0)
+    rng = np.random.default_rng(9)
+    reqs = []
+    for i in range(4):  # distinct prompts fill the cache with entries
+        p = list(rng.integers(1, 200, size=26))
+        reqs.append(sched.submit(p, gen))
+        sched.run()
+    assert all(r.done for r in reqs)
+    assert all(len(r.output) > 0 for r in reqs)
+
+
+def test_prefix_cache_with_chunked_admission():
+    """Prefix adoption composes with chunked prefill (the suffix is
+    chunk-admitted); outputs equal the no-cache scheduler's."""
+    from mlc_llm_tpu.engine import GenerationConfig, InferenceEngine
+    from mlc_llm_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+    cfg, params, eng, sched = _mk_prefix_setup(prefill_chunk=16)
+    gen = GenerationConfig(max_new_tokens=4, temperature=0.0)
+    system = list(np.random.default_rng(5).integers(1, 200, size=24))
+    tail = list(np.random.default_rng(6).integers(1, 200, size=20))
+    prompts = [system + tail[:3], system + tail]  # 2nd: 20-token suffix
+
+    ref_eng = InferenceEngine(cfg, params, max_batch=2, max_seq_len=64,
+                              kv_layout="paged", page_size=8)
+    ref = ContinuousBatchingScheduler(ref_eng)
+    want = [ref.submit(p, gen) for p in prompts]
+    ref.run()
+
+    got = []
+    for p in prompts:
+        r = sched.submit(p, gen)
+        sched.run()
+        got.append(r)
+    assert eng.prefix_cache.hits >= 1
+    for w, g in zip(want, got):
+        assert g.output == w.output, (g.output, w.output)
