@@ -51,7 +51,8 @@ def _build_engine(args):
 
     kwargs = {}
     if args.paged:
-        kwargs.update(kv_layout="paged", page_size=args.page_size)
+        kwargs.update(kv_layout="paged", page_size=args.page_size,
+                      prefix_cache_pages=args.prefix_cache_pages)
     return InferenceEngine(
         cfg, params,
         max_batch=args.max_batch,
@@ -125,6 +126,10 @@ def main(argv=None):
                     help="admit prompts in chunks of this many tokens "
                          "(a prefill bucket) so active requests keep "
                          "decoding during long admissions")
+    ap.add_argument("--prefix-cache-pages", type=int, default=None,
+                    help="enable automatic prefix caching on the paged "
+                         "pool, holding up to this many pages of shared "
+                         "prompt-prefix KV")
     ap.add_argument("--speculative", type=int, default=None, metavar="K",
                     help="batched prompt-lookup speculation with K-token "
                          "verify blocks on all-greedy transient batches "
