@@ -34,3 +34,16 @@ if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+# Diagnostics for persistent-cache misses (a full 7B bench session costs
+# ~20 min of Mosaic recompiles when the cache silently misses): set
+# MLC_EXPLAIN_CACHE_MISSES=1 to have JAX log WHY each key missed, and to
+# surface cache read/write errors instead of swallowing them.
+if _os.environ.get("MLC_EXPLAIN_CACHE_MISSES"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_explain_cache_misses", True)
+        _jax.config.update("jax_raise_persistent_cache_errors", True)
+    except Exception:
+        pass

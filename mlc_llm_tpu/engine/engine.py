@@ -326,6 +326,77 @@ class InferenceEngine:
             static_argnames=("top_k",),
         )
 
+    def precompile(self, *, progress: Optional[Callable[[str], None]] = None) -> int:
+        """AOT-compile every engine program (all prefill buckets, the
+        admission slot-prefill, and every decode-window bucket).
+
+        The reference ships compilation as a build artifact (the .so
+        emitted at /root/reference/build.py:160-166); our analog is the
+        persistent XLA compile cache (mlc_llm_tpu/__init__.py) — this
+        method populates it ahead of serving so no request ever pays a
+        multi-second Mosaic compile mid-stream (p99 protection). Uses
+        jax.ShapeDtypeStruct lowering: no real buffers are touched or
+        donated. Returns the number of programs compiled.
+        """
+        abs_of = lambda t: jax.tree.map(  # noqa: E731
+            lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype), t
+        )
+        params_a = abs_of(self.params)
+        cache_a = abs_of(self.cache)
+        B = self.max_batch
+        i32 = jnp.int32
+        n = 0
+
+        def note(msg):
+            if progress is not None:
+                progress(msg)
+
+        windows = sorted({self.decode_window(b) for b in self.buckets}
+                         | {self.max_seq_len})
+        for b in self.buckets:
+            w = self.decode_window(b)
+            note(f"prefill bucket {b} (window {w})")
+            self._prefill.lower(
+                params_a, jax.ShapeDtypeStruct((B, b), i32),
+                jax.ShapeDtypeStruct((B,), i32), cache_a,
+                attn_window=w,
+                prefill_flash=self.kv_layout != "paged",
+            ).compile()
+            n += 1
+            note(f"slot prefill bucket {b}")
+            # match the scheduler's fresh-admission call exactly
+            # (scheduler.py _admit: window = decode_window(bucket),
+            # prefill_flash = not append; the paged program has no
+            # flash arg at all)
+            slot_kwargs = dict(attn_window=w)
+            if self.kv_layout != "paged":
+                slot_kwargs["prefill_flash"] = True
+            self._prefill_slot_jit.lower(
+                params_a, jax.ShapeDtypeStruct((1, b), i32),
+                jax.ShapeDtypeStruct((), i32), cache_a,
+                jax.ShapeDtypeStruct((), i32),
+                jax.ShapeDtypeStruct((), jnp.bool_),
+                **slot_kwargs,
+            ).compile()
+            n += 1
+        for w in windows:
+            # two temperature/top_p layouts exist at runtime: scalar
+            # (generate_stream) and per-slot [B] (the continuous-batching
+            # scheduler) — they trace to different programs
+            for tshape in ((), (B,)):
+                note(f"decode window {w} (t/p shape {tshape})")
+                self._decode_sample.lower(
+                    params_a, jax.ShapeDtypeStruct((B, 1), i32), cache_a,
+                    jax.ShapeDtypeStruct((B,), jnp.uint32),
+                    jax.ShapeDtypeStruct((B,), i32),
+                    jax.ShapeDtypeStruct(tshape, jnp.float32),
+                    jax.ShapeDtypeStruct(tshape, jnp.float32),
+                    jax.ShapeDtypeStruct((B,), jnp.bool_),
+                    attn_window=w,
+                ).compile()
+                n += 1
+        return n
+
     def decode_window(self, max_len_next: int) -> int:
         """Static attention-window bucket covering max_len_next."""
         for b in self.buckets:

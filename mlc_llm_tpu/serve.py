@@ -66,6 +66,13 @@ def run_server(args) -> None:
     from .parallel.wire import SchedulerServer
 
     engine = _build_engine(args)
+    if args.precompile:
+        t0 = time.time()
+        n = engine.precompile(
+            progress=lambda m: print(f"precompile: {m}", flush=True)
+        )
+        print(f"precompiled {n} programs in {time.time() - t0:.1f}s",
+              flush=True)
     sched = ContinuousBatchingScheduler(
         engine, seed=args.seed or 0,
         prefill_chunk=args.prefill_chunk,
@@ -135,6 +142,12 @@ def main(argv=None):
                          "verify blocks on all-greedy transient batches "
                          "(exact greedy output, up to K tokens per slot "
                          "per pass)")
+    ap.add_argument("--precompile", action="store_true",
+                    help="AOT-compile every engine program (all prefill "
+                         "buckets and decode windows) before accepting "
+                         "requests — no request ever pays a mid-stream "
+                         "compile (executables persist in the XLA "
+                         "compile cache)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8100)
     ap.add_argument("--seed", type=int, default=None)

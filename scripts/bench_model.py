@@ -89,10 +89,20 @@ def main():
         a, b = timed(8), timed(72)
         if b - a > 0:
             cands.append((b - a) / 64)
-    per = min(cands) if cands else 1e-6
     wbytes = sum(
         leaf.size * leaf.dtype.itemsize
         for leaf in jax.tree_util.tree_leaves(params) if hasattr(leaf, "dtype"))
+    if not cands:
+        # same rule as bench.py: a failed measurement is a structured
+        # record, never a fabricated throughput
+        print(json.dumps({
+            "model": args.model, "quant": args.quantization, "batch": B,
+            "decode_tok_s": None,
+            "decode_error": "all long-minus-short deltas non-positive",
+            "weight_bytes": wbytes,
+        }))
+        return
+    per = min(cands)
     print(json.dumps({
         "model": args.model, "quant": args.quantization, "batch": B,
         "decode_tok_s": round(B / per, 2),

@@ -121,3 +121,33 @@ def test_append_prefill_windowed_matches_single_shot():
     logits_single = np.asarray(eng2.prefill([p1 + p2]))
     np.testing.assert_allclose(logits_append, logits_single,
                                atol=1e-2, rtol=1e-3)
+
+
+def test_precompile_counts_and_serves(tiny_engine):
+    """precompile() AOT-compiles every engine program (the analog of the
+    reference emitting a compiled .so at build time, build.py:160-166):
+    per prefill bucket one batch-prefill + one slot-prefill, plus two
+    decode programs (scalar and per-slot t/p) per decode window."""
+    eng = tiny_engine
+    windows = sorted({eng.decode_window(b) for b in eng.buckets}
+                     | {eng.max_seq_len})
+    seen = []
+    n = eng.precompile(progress=seen.append)
+    assert n == 2 * len(eng.buckets) + 2 * len(windows)
+    assert len(seen) == n
+    # engine still serves normally afterwards (no buffer was donated)
+    out = eng.generate([[4, 5, 6]], GenerationConfig(max_new_tokens=3,
+                                                     temperature=0.0))
+    assert len(out[0]) > 0
+
+
+def test_precompile_paged():
+    cfg = get_config("tiny-llama")
+    params = init_random_params(cfg, "q4bf16", seed=0)
+    eng = InferenceEngine(cfg, params, max_batch=2, max_seq_len=64,
+                          kv_layout="paged", page_size=16)
+    n = eng.precompile()
+    assert n > 0
+    out = eng.generate([[7, 8, 9]], GenerationConfig(max_new_tokens=3,
+                                                     temperature=0.0))
+    assert len(out[0]) > 0
