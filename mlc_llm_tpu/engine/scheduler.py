@@ -72,7 +72,8 @@ class Request:
 class ContinuousBatchingScheduler:
     def __init__(self, engine: InferenceEngine, seed: int = 0, slots=None,
                  prefill_chunk: Optional[int] = None,
-                 speculative_k: Optional[int] = None):
+                 speculative_k: Optional[int] = None,
+                 speculative_max_batch: int = 2):
         """slots: engine slots this scheduler owns (default: all).
         Multi-host serving gives each host's scheduler its
         process_local_slots range (parallel/multihost.py) so request
@@ -93,7 +94,14 @@ class ContinuousBatchingScheduler:
         forward pass — emitting up to K tokens per slot per step with
         the same weight traffic as a plain step. Token streams stay
         EXACTLY equal to plain greedy decode; steps that do not meet
-        the gate run the plain pipelined path."""
+        the gate run the plain pipelined path.
+
+        speculative_max_batch: speculation only engages when at most
+        this many slots are active. Measured on-chip (v5e, 7B q4bf16,
+        scripts/spec_bench.py r3): 1.55x at batch 1 but 0.81x at batch
+        4 — a verify pass forwards B*K tokens while acceptance stays
+        ~2 tokens/slot/pass, so the per-pass cost outgrows the saved
+        steps once plain batching already amortizes the weight stream."""
         self.engine = engine
         self.slots = list(slots) if slots is not None else list(
             range(engine.max_batch)
@@ -105,6 +113,7 @@ class ContinuousBatchingScheduler:
             )
         self.prefill_chunk = prefill_chunk
         self.speculative_k = speculative_k
+        self.speculative_max_batch = speculative_max_batch
 
         @partial(jax.jit, donate_argnames=("cache",))
         def _advance_lengths(cache, adv):
@@ -408,6 +417,8 @@ class ContinuousBatchingScheduler:
         over valid KV)."""
         K = self.speculative_k
         if not K or not self.active:
+            return False
+        if len(self.active) > self.speculative_max_batch:
             return False
         if self.engine.kv_layout != "slot" or self._reserved:
             return False

@@ -77,6 +77,7 @@ def run_server(args) -> None:
         engine, seed=args.seed or 0,
         prefill_chunk=args.prefill_chunk,
         speculative_k=args.speculative,
+        speculative_max_batch=args.speculative_max_batch,
     )
     server = SchedulerServer(sched, host=args.host, port=args.port)
     server.start()
@@ -142,6 +143,10 @@ def main(argv=None):
                          "verify blocks on all-greedy transient batches "
                          "(exact greedy output, up to K tokens per slot "
                          "per pass)")
+    ap.add_argument("--speculative-max-batch", type=int, default=2,
+                    help="speculation engages only when at most this "
+                         "many slots are active (measured: 1.55x at "
+                         "batch 1, 0.81x at batch 4 on v5e 7B q4)")
     ap.add_argument("--precompile", action="store_true",
                     help="AOT-compile every engine program (all prefill "
                          "buckets and decode windows) before accepting "

@@ -534,3 +534,35 @@ def test_chunked_admission_with_batched_speculation():
     combo.run()
     for w, g in zip(want, got):
         assert g.output == w.output, (g.output, w.output)
+
+
+def test_scheduler_speculative_batch_gate():
+    """Speculation must NOT engage above speculative_max_batch (on-chip
+    r3 measurement: 1.55x at b1, 0.81x at b4 — scripts/spec_bench.py),
+    and must engage when the cap is raised."""
+    from mlc_llm_tpu.engine import GenerationConfig, InferenceEngine
+    from mlc_llm_tpu.engine.scheduler import ContinuousBatchingScheduler
+    from mlc_llm_tpu.models import get_config, init_random_params
+
+    cfg = get_config("tiny-llama")
+    params = init_random_params(cfg, "f32", seed=0)
+    gen = GenerationConfig(max_new_tokens=6, temperature=0.0)
+    prompts = [[5, 6, 7] * 4, [9, 8] * 5, [1, 2, 3, 4]]
+
+    def run(max_batch_gate):
+        eng = InferenceEngine(cfg, params, max_batch=4, max_seq_len=128)
+        sched = ContinuousBatchingScheduler(
+            eng, speculative_k=4, speculative_max_batch=max_batch_gate)
+        passes = []
+        orig = sched._decode_dispatch_speculative
+        sched._decode_dispatch_speculative = (
+            lambda: (passes.append(1), orig()))
+        reqs = [sched.submit(p, gen) for p in prompts]
+        sched.run()
+        return passes, [r.output for r in reqs]
+
+    gated_passes, gated_out = run(2)       # 3 active > 2 => plain path
+    open_passes, open_out = run(4)         # cap raised => speculation
+    assert not gated_passes
+    assert open_passes
+    assert gated_out == open_out           # streams identical either way
