@@ -88,6 +88,84 @@ def _bench_variant(qt, m: int, bkw: int, bn: int, steps=(16, 112)) -> float:
         dm._gp3_bn = orig_gp3
 
 
+def _bench_variant_stacked(qts, m: int, bkw: int, bn: int,
+                           steps=(16, 112)) -> float:
+    """Per-call seconds for one block config, measured through the
+    layer-STACKED kernel cycling over L stacked layers.
+
+    Why this exists: weights <= ~12 MB get pinned in VMEM by XLA across
+    loop iterations (docs/PERF.md methodology), so an isolated sweep of
+    a small shape (wo 4096x4096 is 10.5 MB) reads "faster than HBM" or
+    pure noise — the round-3 single-shape sweep had to reject most wo
+    candidates as implausible. Stacking L copies (>= ~160 MB total) and
+    cycling the layer index reproduces the engine's real access pattern:
+    every call streams a different layer's blocks from HBM."""
+    import importlib
+
+    dm = importlib.import_module("mlc_llm_tpu.ops.pallas.dequant_matmul")
+
+    L = qts.data.shape[0]
+    k = qts.shape[0]
+
+    @jax.jit
+    def loop(x, n):
+        def body(i, x):
+            y = dm.dequant_matmul_stacked(x, qts, jnp.mod(i, L))
+            y = y[:, :k] if y.shape[1] >= k else jnp.pad(
+                y, ((0, 0), (0, k - y.shape[1])))
+            return (y * 1e-3).astype(jnp.bfloat16)
+        return jax.lax.fori_loop(0, n, body, x, unroll=False)
+
+    orig = dm._pick_blocks
+    orig_gp = dm._gp_blocks
+    orig_gp3 = dm._gp3_bn
+    dm._pick_blocks = lambda *a, **kw: (orig(*a, **kw)[0], bkw, bn)
+    dm._gp_blocks = lambda m_, kw_, n_: (bkw, bn)
+    dm._gp3_bn = lambda m_, kw_, n_: bn
+    for fn in (dm._dequant_matmul_stacked_2d, dm._dequant_matmul_gp_2d,
+               dm._dequant_matmul_gp3_2d,
+               dm._dequant_matmul_stacked_generic_2d):
+        fn.clear_cache()
+    try:
+        x0 = jnp.ones((m, k), jnp.bfloat16) * 0.01
+        float(jnp.asarray(loop(x0, 2)).reshape(-1)[0])
+        best = float("inf")
+        long_avg = float("inf")
+        for _ in range(3):
+            ts = {}
+            for s in steps:
+                t0 = time.perf_counter()
+                float(jnp.asarray(loop(x0, s)).reshape(-1)[0])
+                ts[s] = time.perf_counter() - t0
+            long_avg = min(long_avg, ts[steps[1]] / steps[1])
+            d = (ts[steps[1]] - ts[steps[0]]) / (steps[1] - steps[0])
+            if d > 0:
+                best = min(best, d)
+        if best == float("inf"):
+            return long_avg
+        return best
+    finally:
+        dm._pick_blocks = orig
+        dm._gp_blocks = orig_gp
+        dm._gp3_bn = orig_gp3
+
+
+def _stack_quantized(qt, L: int):
+    """Stack L copies of a QuantizedTensor along a new leading axis
+    (layer-decorrelated: each copy is rolled so identical-page reuse
+    can't fake bandwidth)."""
+    from .quant.groupwise import QuantizedTensor
+
+    def rep(a):
+        return jnp.stack([jnp.roll(a, i, axis=-1) for i in range(L)], 0)
+
+    return QuantizedTensor(
+        data=rep(qt.data), scale=rep(qt.scale),
+        zero=None if qt.zero is None else rep(qt.zero),
+        spec=qt.spec, shape=qt.shape,
+    )
+
+
 # v5e spec HBM bandwidth: a per-call reading implying MORE than this is
 # physically impossible for an HBM-resident weight and means the probe
 # hit a contention/VMEM-pinning artifact (memory: weights <= ~12 MB get
@@ -102,7 +180,7 @@ def _implied_gbps(qt, t: float) -> float:
 
 
 def tune_shapes(shapes, quant="q4bf16", ms=(1,), verbose=True,
-                validate: bool = True):
+                validate: bool = True, stacked: bool = False):
     """shapes: [(k, n)]; returns {key: entry} best blocks.
 
     Entries carry provenance: {"blocks": [bkw, bn], "gbps": float,
@@ -128,6 +206,15 @@ def tune_shapes(shapes, quant="q4bf16", ms=(1,), verbose=True,
         from .quant.groupwise import pad_quantized_groups
 
         qt = pad_quantized_groups(qt)  # engines pad at init; tune likewise
+        qts = None
+        if stacked:
+            # enough layers that the cycled working set can't pin in
+            # VMEM (>= ~160 MB), capped so huge shapes stay affordable
+            L = max(2, min(16, -(-160 * 1024 * 1024 // qt.nbytes())))
+            qts = _stack_quantized(qt, L)
+            if verbose:
+                print(f"  [stacked x{L} = {qts.data.nbytes/1e6:.0f} MB "
+                      f"packed]", flush=True)
         kw = qt.data.shape[0]
         n_stored = qt.data.shape[1]
         wpg = -(-spec.group_size // spec.elems_per_word)
@@ -173,7 +260,8 @@ def tune_shapes(shapes, quant="q4bf16", ms=(1,), verbose=True,
             ranked = []  # (t, (bkw, bn))
             for bkw, bn in mcands:
                 try:
-                    t = _bench_variant(qt, m, bkw, bn)
+                    t = (_bench_variant_stacked(qts, m, bkw, bn)
+                         if stacked else _bench_variant(qt, m, bkw, bn))
                 except Exception as e:  # compile failure for this variant
                     if verbose:
                         print(f"  ({bkw},{bn}): failed {type(e).__name__}")
@@ -201,7 +289,9 @@ def tune_shapes(shapes, quant="q4bf16", ms=(1,), verbose=True,
                 # contention artifact won't reproduce; a real schedule
                 # advantage will
                 try:
-                    t2 = _bench_variant(qt, m, best[0], best[1])
+                    t2 = (_bench_variant_stacked(qts, m, best[0], best[1])
+                          if stacked else
+                          _bench_variant(qt, m, best[0], best[1]))
                     validated = (
                         abs(t2 - best_t) / max(min(t2, best_t), 1e-12) <= 0.25
                         and not (on_tpu and _implied_gbps(qt, t2)
@@ -219,6 +309,8 @@ def tune_shapes(shapes, quant="q4bf16", ms=(1,), verbose=True,
                 "validated": bool(validated),
                 "runner_up": list(runner) if runner else None,
             }
+            if stacked:
+                table[key]["stacked"] = True
     return table
 
 
@@ -240,6 +332,10 @@ def main(argv=None):
     ap.add_argument("--model", default="vicuna-v1-7b")
     ap.add_argument("--quantization", default="q4bf16")
     ap.add_argument("--m", type=int, action="append", default=None)
+    ap.add_argument("--stacked", action="store_true",
+                    help="measure through the layer-stacked kernel over "
+                         "cycled stacked copies (reliable for <20 MB "
+                         "shapes that otherwise pin in VMEM)")
     ap.add_argument("-o", "--out", default=TABLE_PATH)
     args = ap.parse_args(argv)
 
@@ -247,7 +343,8 @@ def main(argv=None):
 
     cfg = get_config(args.model)
     ms = tuple(args.m) if args.m else (1,)
-    table = tune_shapes(model_shapes(cfg), args.quantization, ms)
+    table = tune_shapes(model_shapes(cfg), args.quantization, ms,
+                        stacked=args.stacked)
     existing = {}
     if os.path.exists(args.out):
         with open(args.out) as f:
