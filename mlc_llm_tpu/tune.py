@@ -180,7 +180,8 @@ def _implied_gbps(qt, t: float) -> float:
 
 
 def tune_shapes(shapes, quant="q4bf16", ms=(1,), verbose=True,
-                validate: bool = True, stacked: bool = False):
+                validate: bool = True, stacked: bool = False,
+                cands_override=None):
     """shapes: [(k, n)]; returns {key: entry} best blocks.
 
     Entries carry provenance: {"blocks": [bkw, bn], "gbps": float,
@@ -256,9 +257,16 @@ def tune_shapes(shapes, quant="q4bf16", ms=(1,), verbose=True,
             else:
                 mcands = cands
                 key = f"{m}:{kw}:{n_stored}"
+            if cands_override:
+                # trimmed sweep: the tunnel pays minutes of compile per
+                # candidate executable, so callers can restrict to a
+                # short list of known-promising configs
+                mcands = [c for c in mcands if tuple(c) in
+                          {tuple(o) for o in cands_override}]
             on_tpu = jax.default_backend() not in ("cpu",)
             ranked = []  # (t, (bkw, bn))
             for bkw, bn in mcands:
+                t0c = time.perf_counter()
                 try:
                     t = (_bench_variant_stacked(qts, m, bkw, bn)
                          if stacked else _bench_variant(qt, m, bkw, bn))
@@ -276,7 +284,9 @@ def tune_shapes(shapes, quant="q4bf16", ms=(1,), verbose=True,
                     continue
                 if verbose:
                     print(f"  k={k} n={n} m={m} blocks=({bkw},{bn}): "
-                          f"{t*1e6:.1f} us ({gbps/1e9:.0f} GB/s)")
+                          f"{t*1e6:.1f} us ({gbps/1e9:.0f} GB/s) "
+                          f"[probe {time.perf_counter()-t0c:.0f}s]",
+                          flush=True)
                 ranked.append((t, (bkw, bn)))
             if not ranked:
                 continue
