@@ -89,7 +89,7 @@ def _bench_variant(qt, m: int, bkw: int, bn: int, steps=(16, 112)) -> float:
 
 
 def _bench_variant_stacked(qts, m: int, bkw: int, bn: int,
-                           steps=(16, 112)) -> float:
+                           steps=(64, 1088)) -> float:
     """Per-call seconds for one block config, measured through the
     layer-STACKED kernel cycling over L stacked layers.
 
@@ -99,7 +99,15 @@ def _bench_variant_stacked(qts, m: int, bkw: int, bn: int,
     pure noise — the round-3 single-shape sweep had to reject most wo
     candidates as implausible. Stacking L copies (>= ~160 MB total) and
     cycling the layer index reproduces the engine's real access pattern:
-    every call streams a different layer's blocks from HBM."""
+    every call streams a different layer's blocks from HBM.
+
+    steps default is much longer than _bench_variant's: per-call times
+    here are tens of microseconds, so the long-minus-short delta must
+    be >> the tunnel's ~25 ms RTT jitter (1024 extra steps ~= 35-70 ms
+    of device time; the first probe with 96-step deltas read an absurd
+    372 TB/s). The trip count is a traced argument — one executable
+    regardless of steps, so longer loops cost milliseconds, not
+    compiles."""
     import importlib
 
     dm = importlib.import_module("mlc_llm_tpu.ops.pallas.dequant_matmul")

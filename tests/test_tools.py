@@ -253,3 +253,25 @@ def test_tune_table_provenance_and_reader(tmp_path, monkeypatch):
         assert dm._tuned_table()["4:32:256"] == [32, 256]
     finally:
         dm._TUNED = orig
+
+
+def test_tune_stacked_protocol_and_cands_override():
+    """The stacked sweep (tune.py --stacked) measures through the
+    layer-stacked kernel over cycled copies (VMEM-pinning defeat for
+    sub-20 MB shapes) and must produce the same provenance entries,
+    tagged stacked=True; cands_override trims the candidate list to
+    exactly the requested configs."""
+    from mlc_llm_tpu.tune import tune_shapes
+
+    table = tune_shapes(
+        [(256, 256)], "q4bf16", ms=(1,), verbose=False,
+        stacked=True, cands_override=[(64, 256), (32, 256)],
+    )
+    assert table, "stacked sweep produced no entries"
+    (key, entry), = table.items()
+    assert key.startswith("gp:1:"), key
+    assert entry["stacked"] is True
+    assert tuple(entry["blocks"]) in {(64, 256), (32, 256)}
+    # runner_up must also come from the override list (nothing else ran)
+    if entry["runner_up"] is not None:
+        assert tuple(entry["runner_up"]) in {(64, 256), (32, 256)}
