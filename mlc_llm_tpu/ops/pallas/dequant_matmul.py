@@ -237,6 +237,61 @@ def _kernel_pairs(xlo_ref, xhi_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+def _kernel_pairs_hs(*refs, spec: QuantSpec, k_steps: int, out_dtype,
+                     stacked: bool, interpret: bool):
+    """int4/u32 HALF-SPLIT path (spec.layout == 'hsplit'), flat or
+    stacked: one (m, n, k) grid step.
+
+    With half-split packing the sublane-expanded nibble planes are the
+    codes of x's two contiguous halves, so xlo/xhi are FREE lane slices
+    of the raw activation (the pair layout needs a stride-2 XLA
+    deinterleave costing ~0.4 ms/step at 7B decode). The two halves
+    cover DISJOINT group ranges, so scales/offsets arrive as separate
+    lo/hi blocks and the weight value is built in AFFINE form
+    (w = q*s + z): 2 MXU dots instead of the pair kernel's 3 (the
+    shared-offset dot no longer exists), at +1 VPU add per element.
+    """
+    if stacked:
+        (_l, xlo_ref, xhi_ref, w_ref, slo_ref, zlo_ref, shi_ref, zhi_ref,
+         o_ref, acc_ref) = refs
+        w_in = w_ref[0]
+        slo, zlo, shi, zhi = slo_ref[0], zlo_ref[0], shi_ref[0], zhi_ref[0]
+    else:
+        (xlo_ref, xhi_ref, w_ref, slo_ref, zlo_ref, shi_ref, zhi_ref,
+         o_ref, acc_ref) = refs
+        w_in = w_ref[:]
+        slo, zlo, shi, zhi = slo_ref[:], zlo_ref[:], shi_ref[:], zhi_ref[:]
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    cdtype = xlo_ref.dtype
+    rpg = spec.group_size  # plane rows per group: 32 consecutive elements
+    lo8, hi8 = _nibble_planes(w_in, interpret)
+
+    def wv(plane8, s, z):
+        se = _row_repeat(s.astype(cdtype), rpg)
+        if spec.sym:
+            off = se * (-spec.max_int)
+        else:
+            off = _row_repeat(z.astype(cdtype), rpg)
+        return plane8.astype(cdtype) * se + off
+
+    dn = (((1,), (0,)), ((), ()))
+    acc = acc_ref[:]
+    acc += jax.lax.dot_general(
+        xlo_ref[:], wv(lo8, slo, zlo), dn, preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(
+        xhi_ref[:], wv(hi8, shi, zhi), dn, preferred_element_type=jnp.float32)
+    acc_ref[:] = acc
+
+    @pl.when(k_idx == k_steps - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
 def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, spec: QuantSpec,
             wpg: int, k_steps: int, out_dtype):
     """One (m, n, k) grid step.
@@ -670,9 +725,16 @@ def _dequant_matmul_2d(
 
     if spec.mode == "int4" and spec.storage == "u32":
         # fast path: i8 nibble pairs (see _nibble_planes)
-        xr = x.reshape(m, kw, 4, 2)
-        xlo = xr[..., 0].reshape(m, kw * 4)
-        xhi = xr[..., 1].reshape(m, kw * 4)
+        hsplit = spec.layout == "hsplit"
+        if hsplit:
+            # the nibble planes are x's contiguous halves: free slices
+            kh = k_stored // 2
+            xlo = x[:, :kh]
+            xhi = x[:, kh:]
+        else:
+            xr = x.reshape(m, kw, 4, 2)
+            xlo = xr[..., 0].reshape(m, kw * 4)
+            xhi = xr[..., 1].reshape(m, kw * 4)
         m_pad = -(-m // bm) * bm
         if m_pad != m:
             xlo = jnp.pad(xlo, ((0, m_pad - m), (0, 0)))
@@ -681,20 +743,42 @@ def _dequant_matmul_2d(
         bkg = bkw // wpg
         if zero is None:
             zero = scale
-        kernel = functools.partial(
-            _kernel_pairs, spec=spec, k_steps=k_steps, out_dtype=out_dtype,
-            interpret=interpret,
-        )
-        out = pl.pallas_call(
-            kernel,
-            grid=(m_pad // bm, n_stored // bn, k_steps),
-            in_specs=[
+        if hsplit:
+            kernel = functools.partial(
+                _kernel_pairs_hs, spec=spec, k_steps=k_steps,
+                out_dtype=out_dtype, stacked=False, interpret=interpret,
+            )
+            # each half covers bkg//2 DISJOINT groups per k-tile; the
+            # hi half's blocks start at row G//2 = block index k_steps
+            in_specs = [
+                pl.BlockSpec((bm, 4 * bkw), lambda i, j, kk: (i, kk)),
+                pl.BlockSpec((bm, 4 * bkw), lambda i, j, kk: (i, kk)),
+                pl.BlockSpec((bkw, bn), lambda i, j, kk: (kk, j)),
+                pl.BlockSpec((bkg // 2, bn), lambda i, j, kk: (kk, j)),
+                pl.BlockSpec((bkg // 2, bn), lambda i, j, kk: (kk, j)),
+                pl.BlockSpec((bkg // 2, bn),
+                             lambda i, j, kk: (k_steps + kk, j)),
+                pl.BlockSpec((bkg // 2, bn),
+                             lambda i, j, kk: (k_steps + kk, j)),
+            ]
+            operands = (xlo, xhi, data, scale, zero, scale, zero)
+        else:
+            kernel = functools.partial(
+                _kernel_pairs, spec=spec, k_steps=k_steps,
+                out_dtype=out_dtype, interpret=interpret,
+            )
+            in_specs = [
                 pl.BlockSpec((bm, 4 * bkw), lambda i, j, kk: (i, kk)),
                 pl.BlockSpec((bm, 4 * bkw), lambda i, j, kk: (i, kk)),
                 pl.BlockSpec((bkw, bn), lambda i, j, kk: (kk, j)),
                 pl.BlockSpec((bkg, bn), lambda i, j, kk: (kk, j)),
                 pl.BlockSpec((bkg, bn), lambda i, j, kk: (kk, j)),
-            ],
+            ]
+            operands = (xlo, xhi, data, scale, zero)
+        out = pl.pallas_call(
+            kernel,
+            grid=(m_pad // bm, n_stored // bn, k_steps),
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
             out_shape=jax.ShapeDtypeStruct((m_pad, n_stored), out_dtype),
             scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
@@ -708,7 +792,7 @@ def _dequant_matmul_2d(
                 transcendentals=0,
             ),
             interpret=interpret,
-        )(xlo, xhi, data, scale, zero)
+        )(*operands)
         return out[:m, :n]
 
     # generic path (int3, u16, fp4, i8)
@@ -876,6 +960,61 @@ def _gp_body(xp, w2d, s2d, z2d, acc, *, spec: QuantSpec, Cg: int,
     return acc
 
 
+def _gp_body_hs(xb, w2d, s2d, z2d, acc, *, spec: QuantSpec, Cg: int,
+                cpt: int, M: int, G: int, interpret: bool):
+    """Half-split gp chunk loop (full-k tiles only).
+
+    xb: [2, cpt*Cg*M, 16Cg] banded halves (plane 0 = bands of x[:, :K/2],
+    plane 1 = x[:, K/2:]); w2d: [KW, BN]; s2d/z2d: [G, BN] (whole scale
+    array — k_steps is pinned to 1 under hsplit because the
+    element->nibble-slot mapping is global in k).
+
+    Each plane's band row holds 16 CONSECUTIVE original elements = half
+    a quant group, so scales repeat 2*M rows per real group and the two
+    planes read disjoint group ranges ([0, G/2) and [G/2, G)). Same dot
+    count as the pair gp body (2 per chunk)."""
+    dn = (((1,), (0,)), ((), ()))
+    wpc = 4 * Cg
+    rpc = Cg * M
+    gh = Cg // 2  # real groups per chunk per half
+    for c in range(cpt):
+        wc = w2d[c * wpc:(c + 1) * wpc, :]
+        lo8, hi8 = _nibble_planes(wc, interpret)
+        for p, plane8 in ((0, lo8), (1, hi8)):
+            g0 = (G // 2) * p + c * gh
+            sc = _row_repeat(
+                s2d[g0:g0 + gh, :].astype(jnp.float32), 2 * M)
+            xpb = xb[p, c * rpc:(c + 1) * rpc, :]
+            P = jax.lax.dot_general(
+                xpb, plane8.astype(xpb.dtype), dn,
+                preferred_element_type=jnp.float32)
+            sx = jnp.sum(xpb, axis=1, keepdims=True).astype(jnp.float32)
+            if spec.sym:
+                acc = acc + sc * (P - float(spec.max_int) * sx)
+            else:
+                zc = _row_repeat(
+                    z2d[g0:g0 + gh, :].astype(jnp.float32), 2 * M)
+                acc = acc + sc * P + zc * sx
+    return acc
+
+
+def _band_store_hs(x_ref, xd_ref, *, Cg: int, cpt: int, M: int):
+    """Band the raw activation's two contiguous halves into the
+    block-diagonal scratch [2, cpt*Cg*M, 16*Cg]. x_ref: [M, K] in the
+    compute dtype — every slice below is a stride-1 lane slice, so no
+    XLA-side deinterleave exists at all (the whole point of hsplit)."""
+    band = _band_mask(Cg, 16, xd_ref.dtype)
+    cols = 16 * Cg
+    rpc = Cg * M
+    KH = cpt * cols  # == K // 2
+    for c in range(cpt):
+        for p in range(2):
+            xs = x_ref[:, p * KH + c * cols:p * KH + (c + 1) * cols]
+            xd_ref[p, c * rpc:(c + 1) * rpc, :] = (
+                band[:, None, :] * xs[None, :, :]
+            ).reshape(rpc, cols)
+
+
 def _u32_halves_bf16(xu: Array, interpret: bool) -> Array:
     """u32 [M, C] -> bf16 [2M, C]: row 2m = bits 0-15 of row m (the
     EVEN original element), row 2m+1 = bits 16-31 (the ODD element) —
@@ -924,7 +1063,8 @@ def _band_store(xp_ref, xd_ref, *, Cg: int, cpt: int, M: int,
 
 def _kernel_gp(*refs, spec: QuantSpec, Cg: int, cpt: int, M: int,
                k_steps: int, prebanded: bool, band_scratch: bool,
-               raw_x: bool, stacked: bool, out_dtype, interpret: bool):
+               raw_x: bool, stacked: bool, out_dtype, interpret: bool,
+               hsplit: bool = False, G: int = 0):
     """One (n, k) grid step of the group-partial kernel.
 
     stacked=True prepends the scalar-prefetch layer ref, and the
@@ -953,19 +1093,28 @@ def _kernel_gp(*refs, spec: QuantSpec, Cg: int, cpt: int, M: int,
 
         @pl.when(pl.program_id(1) == 0)
         def _():
-            _band_store(xp_ref, xd_ref, Cg=Cg, cpt=cpt, M=M, raw=raw_x,
-                        interpret=interpret)
+            if hsplit:
+                _band_store_hs(xp_ref, xd_ref, Cg=Cg, cpt=cpt, M=M)
+            else:
+                _band_store(xp_ref, xd_ref, Cg=Cg, cpt=cpt, M=M, raw=raw_x,
+                            interpret=interpret)
 
         x_in = xd_ref[:]
         banded = True
     else:
         x_in = xp_ref[:]
         banded = prebanded
-    acc_ref[:] = _gp_body(
-        x_in, w_in, s_in, z_in, acc_ref[:],
-        spec=spec, Cg=Cg, cpt=cpt, M=M, prebanded=banded,
-        interpret=interpret,
-    )
+    if hsplit:
+        acc_ref[:] = _gp_body_hs(
+            x_in, w_in, s_in, z_in, acc_ref[:],
+            spec=spec, Cg=Cg, cpt=cpt, M=M, G=G, interpret=interpret,
+        )
+    else:
+        acc_ref[:] = _gp_body(
+            x_in, w_in, s_in, z_in, acc_ref[:],
+            spec=spec, Cg=Cg, cpt=cpt, M=M, prebanded=banded,
+            interpret=interpret,
+        )
 
     @pl.when(kk == k_steps - 1)
     def _():
@@ -1015,13 +1164,20 @@ def _dequant_matmul_gp_2d(
         x = jnp.pad(x, ((0, 0), (0, k_stored - x.shape[1])))
 
     bkw, bn = _gp_blocks(m, kw, n_stored)
+    hsplit = spec.layout == "hsplit"
+    if hsplit:
+        # the hsplit element->nibble-slot mapping is global in k, so
+        # the kernel takes full-k tiles only (every tuned 7B pick is
+        # full-k anyway); the payoff is the raw [M, K] activation input
+        # below — zero XLA-side deinterleave
+        bkw = kw
     k_steps = kw // bkw
     Gt = G // k_steps
     Cg = _gp_pick_cg(Gt, m)
     cpt = (4 * bkw) // (16 * Cg)
     band_scratch = k_steps == 1
     prebanded = m == 1 and not band_scratch
-    raw_x = (band_scratch and GP_RAW_X and m == 1
+    raw_x = (not hsplit and band_scratch and GP_RAW_X and m == 1
              and x.dtype == jnp.bfloat16)
 
     # the stacked (scalar-prefetch) grid passes the layer ref as a
@@ -1030,7 +1186,13 @@ def _dequant_matmul_gp_2d(
         lambda f: f)
 
     scratch = [pltpu.VMEM((Cg * m, bn), jnp.float32)]
-    if raw_x:
+    if hsplit:
+        # raw activation straight in; both halves are lane-sliced and
+        # banded inside the kernel (stride-1 only)
+        xp = x
+        x_spec = pl.BlockSpec((m, k_stored), am(lambda i, j, kk: (0, 0)))
+        scratch.append(pltpu.VMEM((2, cpt * Cg * m, 16 * Cg), x.dtype))
+    elif raw_x:
         # free bitcast: adjacent bf16 lane pairs -> one u32 word; the
         # kernel's sublane-expanding bitcast recovers the even/odd
         # planes with no XLA transpose chain
@@ -1066,6 +1228,7 @@ def _dequant_matmul_gp_2d(
         _kernel_gp, spec=spec, Cg=Cg, cpt=cpt, M=m, k_steps=k_steps,
         prebanded=prebanded, band_scratch=band_scratch, raw_x=raw_x,
         stacked=stacked, out_dtype=out_dtype, interpret=interpret,
+        hsplit=hsplit, G=Gt,
     )
     cparams = pltpu.CompilerParams(
         dimension_semantics=(
@@ -1174,9 +1337,15 @@ def _dequant_matmul_stacked_2d(
     k_stored = kw * spec.elems_per_word
     if x.shape[1] != k_stored:
         x = jnp.pad(x, ((0, 0), (0, k_stored - x.shape[1])))
-    xr = x.reshape(m, kw, 4, 2)
-    xlo = xr[..., 0].reshape(m, kw * 4)
-    xhi = xr[..., 1].reshape(m, kw * 4)
+    hsplit = spec.layout == "hsplit"
+    if hsplit:
+        kh = k_stored // 2
+        xlo = x[:, :kh]
+        xhi = x[:, kh:]
+    else:
+        xr = x.reshape(m, kw, 4, 2)
+        xlo = xr[..., 0].reshape(m, kw * 4)
+        xhi = xr[..., 1].reshape(m, kw * 4)
 
     bm, bkw, bn = _pick_blocks(m, kw, n_stored, wpg,
                                epw=spec.elems_per_word)
@@ -1189,20 +1358,42 @@ def _dequant_matmul_stacked_2d(
     if zero is None:
         zero = scale
 
-    kernel = functools.partial(
-        _kernel_pairs_stacked, spec=spec, k_steps=k_steps, out_dtype=out_dtype,
-        interpret=interpret,
-    )
-    gs = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(m_pad // bm, n_stored // bn, k_steps),
-        in_specs=[
+    if hsplit:
+        kernel = functools.partial(
+            _kernel_pairs_hs, spec=spec, k_steps=k_steps,
+            out_dtype=out_dtype, stacked=True, interpret=interpret,
+        )
+        in_specs = [
+            pl.BlockSpec((bm, 4 * bkw), lambda i, j, kk, l: (i, kk)),
+            pl.BlockSpec((bm, 4 * bkw), lambda i, j, kk, l: (i, kk)),
+            pl.BlockSpec((1, bkw, bn), lambda i, j, kk, l: (l[0], kk, j)),
+            pl.BlockSpec((1, bkg // 2, bn),
+                         lambda i, j, kk, l: (l[0], kk, j)),
+            pl.BlockSpec((1, bkg // 2, bn),
+                         lambda i, j, kk, l: (l[0], kk, j)),
+            pl.BlockSpec((1, bkg // 2, bn),
+                         lambda i, j, kk, l: (l[0], k_steps + kk, j)),
+            pl.BlockSpec((1, bkg // 2, bn),
+                         lambda i, j, kk, l: (l[0], k_steps + kk, j)),
+        ]
+        operands = (layer, xlo, xhi, data, scale, zero, scale, zero)
+    else:
+        kernel = functools.partial(
+            _kernel_pairs_stacked, spec=spec, k_steps=k_steps,
+            out_dtype=out_dtype, interpret=interpret,
+        )
+        in_specs = [
             pl.BlockSpec((bm, 4 * bkw), lambda i, j, kk, l: (i, kk)),
             pl.BlockSpec((bm, 4 * bkw), lambda i, j, kk, l: (i, kk)),
             pl.BlockSpec((1, bkw, bn), lambda i, j, kk, l: (l[0], kk, j)),
             pl.BlockSpec((1, bkg, bn), lambda i, j, kk, l: (l[0], kk, j)),
             pl.BlockSpec((1, bkg, bn), lambda i, j, kk, l: (l[0], kk, j)),
-        ],
+        ]
+        operands = (layer, xlo, xhi, data, scale, zero)
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m_pad // bm, n_stored // bn, k_steps),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk, l: (i, j)),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
     )
@@ -1214,7 +1405,7 @@ def _dequant_matmul_stacked_2d(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(layer, xlo, xhi, data, scale, zero)
+    )(*operands)
     return out[:m, :n]
 
 

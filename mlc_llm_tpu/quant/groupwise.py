@@ -111,11 +111,39 @@ def _f4_to_float(code: Array, dtype) -> Array:
     return (jnp.where(s == 1, -mag, mag)).astype(dtype)
 
 
+def _hs_interleave(codes: Array) -> Array:
+    """Element-order codes [K, n] -> nibble-slot order for hsplit packing.
+
+    hsplit ("half-split") puts element q in the LO nibble and element
+    K/2+q in the HI nibble of byte q%4 of word q//4, so the kernels'
+    sublane-expanded nibble planes are the two contiguous halves of x
+    (no stride-2 activation deinterleave). Nibble slot e of word r:
+    e=2b -> element 4r+b, e=2b+1 -> element K/2+4r+b."""
+    K, n = codes.shape
+    assert K % 8 == 0, K
+    kh = K // 2
+    lo = codes[:kh].reshape(kh // 4, 4, n)
+    hi = codes[kh:].reshape(kh // 4, 4, n)
+    return jnp.stack([lo, hi], axis=2).reshape(K, n)
+
+
+def _hs_restore(codes_slots: Array) -> Array:
+    """Inverse of _hs_interleave: nibble-slot order -> element order."""
+    K, n = codes_slots.shape
+    a = codes_slots.reshape(K // 8, 4, 2, n)
+    kh = K // 2
+    return jnp.concatenate(
+        [a[:, :, 0].reshape(kh, n), a[:, :, 1].reshape(kh, n)], axis=0
+    )
+
+
 def _pack_words(codes: Array, spec: QuantSpec) -> Array:
     """[k_pad, n] uint32 codes -> [k_pad//epw, n] packed words (LSB-first)."""
     epw = spec.elems_per_word
     k_pad, n = codes.shape
     assert k_pad % epw == 0, (k_pad, epw)
+    if spec.layout == "hsplit":
+        codes = _hs_interleave(codes)
     wdtype = jnp.uint32 if spec.storage == "u32" else jnp.uint16
     codes = codes.reshape(k_pad // epw, epw, n).astype(jnp.uint32)
     shifts = (jnp.arange(epw, dtype=jnp.uint32) * spec.nbit)[None, :, None]
@@ -127,14 +155,17 @@ def _pack_words(codes: Array, spec: QuantSpec) -> Array:
 
 
 def _unpack_words(words: Array, spec: QuantSpec) -> Array:
-    """[rows, n] packed words -> [rows*epw, n] uint32 codes."""
+    """[rows, n] packed words -> [rows*epw, n] uint32 codes (element order)."""
     epw = spec.elems_per_word
     rows, n = words.shape
     w32 = words.astype(jnp.uint32)
     shifts = (jnp.arange(epw, dtype=jnp.uint32) * spec.nbit)[None, :, None]
     mask = jnp.uint32((1 << spec.nbit) - 1)
     codes = (w32[:, None, :] >> shifts) & mask
-    return codes.reshape(rows * epw, n)
+    codes = codes.reshape(rows * epw, n)
+    if spec.layout == "hsplit":
+        codes = _hs_restore(codes)
+    return codes
 
 
 @partial(jax.jit, static_argnames=("spec",))
@@ -235,8 +266,23 @@ def pad_quantized_groups(qt: QuantizedTensor, mult: int = 32) -> QuantizedTensor
         pw[-2] = (0, rows)
         return jnp.pad(a, pw)
 
+    if spec.layout == "hsplit":
+        # the hsplit element->nibble-slot mapping depends on TOTAL k
+        # (element q pairs with K/2+q), so appending zero words would
+        # silently shift every existing element: zero-pad at the CODE
+        # level and repack (one-time init cost)
+        def repack(d2):
+            codes = _unpack_words(d2, spec)  # element order
+            codes = jnp.pad(codes, ((0, dg * spec.group_size), (0, 0)))
+            return _pack_words(codes, spec)
+
+        data = (jax.vmap(repack)(qt.data) if qt.data.ndim == 3
+                else repack(qt.data))
+    else:
+        data = padrows(qt.data, dg * wpg)
+
     return QuantizedTensor(
-        data=padrows(qt.data, dg * wpg),
+        data=data,
         scale=padrows(qt.scale, dg),
         zero=padrows(qt.zero, dg),
         spec=spec,

@@ -27,10 +27,27 @@ class QuantSpec:
     sym: bool = False
     storage: str = "u4"
     dtype: str = "bfloat16"
+    # Word-packing element order (int4/u32 only):
+    #   "pair":   word r packs elements [8r, 8r+8) LSB-first — byte b
+    #             holds the EVEN/ODD element pair (8r+2b, 8r+2b+1).
+    #   "hsplit": byte b of word r holds elements (4r+b, K/2 + 4r+b) —
+    #             the two nibble planes become the contiguous halves of
+    #             x, so the fused kernels take raw bf16 activations with
+    #             NO XLA deinterleave (the pair layout's per-call
+    #             convert/reshape/shift chains measured ~0.4 ms/step at
+    #             7B b1 decode, tpu_logs/profile_r3).
+    # Same codes, same scales, same math — only the element->bit-slot
+    # assignment differs.
+    layout: str = "pair"
 
     def __post_init__(self):
         if self.mode == "none":
             return
+        if self.layout not in ("pair", "hsplit"):
+            raise ValueError(f"unknown packing layout {self.layout!r}")
+        if self.layout == "hsplit" and not (
+                self.mode == "int4" and self.storage == "u32"):
+            raise ValueError("hsplit layout is defined for int4/u32 only")
         if self.mode == "int3" and not self.sym:
             # int3 requires sym, as in the reference
             # (/root/reference/mlc_llm/transform/quantization.py:284-287).
@@ -92,6 +109,12 @@ QUANT_PRESETS = {
     # support, and packed words are what the Pallas kernels consume.
     "q4f16": QuantSpec("int4", 32, False, "u32", "float16"),
     "q4bf16": QuantSpec("int4", 32, False, "u32", "bfloat16"),
+    # half-split packing variants (identical math/bits, kernel-friendly
+    # element order — see QuantSpec.layout)
+    "q4f16_hs": QuantSpec("int4", 32, False, "u32", "float16",
+                          layout="hsplit"),
+    "q4bf16_hs": QuantSpec("int4", 32, False, "u32", "bfloat16",
+                           layout="hsplit"),
     "q4f32": QuantSpec("int4", 32, False, "u32", "float32"),
     "q4f16_sym": QuantSpec("int4", 32, True, "u32", "float16"),
     "q4bf16_sym": QuantSpec("int4", 32, True, "u32", "bfloat16"),

@@ -132,6 +132,10 @@ def load_params(
         for p in parts[:-1]:
             node = node[p]
         sub = node[parts[-1]]
+        # manifests written before the layout field existed hold
+        # pair-packed data; default explicitly so a future change of
+        # QuantSpec's default can never silently re-tag old checkpoints
+        info["spec"].setdefault("layout", "pair")
         node[parts[-1]] = QuantizedTensor(
             data=sub["data"],
             scale=sub["scale"],

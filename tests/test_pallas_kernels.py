@@ -291,3 +291,42 @@ def test_gp_kernel_k_steps_matches(m, tmp_path, monkeypatch):
         )
     finally:
         dm._TUNED = orig
+
+
+def test_hsplit_kernels_match_jnp_all_paths():
+    """Half-split packing (q4bf16_hs) through every int4/u32 kernel
+    path — gp flat/stacked (m<=8) and pairs flat/stacked (prefill m) —
+    must match the jnp dequantize-then-matmul reference. The hs pairs
+    kernel uses the affine w=q*s+z form (2 MXU dots), so at prefill m
+    it is bit-exact vs the reference."""
+    import numpy as np
+
+    from mlc_llm_tpu.ops.pallas.dequant_matmul import (
+        dequant_matmul,
+        dequant_matmul_stacked,
+    )
+    from mlc_llm_tpu.quant import dequantize, quantize
+    from mlc_llm_tpu.quant.groupwise import (
+        QuantizedTensor,
+        pad_quantized_groups,
+    )
+
+    rng = np.random.default_rng(1)
+    k, n = 512, 384
+    qts = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, 0),
+        *[pad_quantized_groups(quantize(
+            (rng.standard_normal((k, n)) * 0.05).astype(np.float32),
+            "q4bf16_hs")) for _ in range(3)],
+    )
+    qt = QuantizedTensor(data=qts.data[1], scale=qts.scale[1],
+                         zero=qts.zero[1], spec=qts.spec, shape=qts.shape)
+    ref_w = dequantize(qt, "bfloat16")
+    for m in (1, 2, 16):
+        x = jnp.asarray(rng.standard_normal((m, k)) * 0.1, jnp.bfloat16)
+        yr = jnp.matmul(x, ref_w, preferred_element_type=jnp.float32)
+        for y in (dequant_matmul(x, qt),
+                  dequant_matmul_stacked(x, qts, jnp.int32(1))):
+            np.testing.assert_allclose(
+                np.asarray(y, np.float32), np.asarray(yr, np.float32),
+                atol=1e-2, rtol=1e-2)

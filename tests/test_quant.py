@@ -121,3 +121,57 @@ def test_spec_validation():
         QuantSpec("int4", 32, False, "i8")
     with pytest.raises(ValueError):
         resolve_spec("nope")
+
+
+def test_hsplit_layout_decodes_identically():
+    """q4bf16_hs (half-split word packing) must decode to EXACTLY the
+    same dense weights as the pair layout — only the element->nibble
+    slot assignment differs. Covers the group-padding repack too (the
+    hsplit mapping is global in k, so padding must unpack/repack)."""
+    import numpy as np
+
+    from mlc_llm_tpu.quant import dequantize, quantize
+    from mlc_llm_tpu.quant.groupwise import pad_quantized_groups
+
+    rng = np.random.default_rng(0)
+    w = (rng.standard_normal((512, 384)) * 0.05).astype(np.float32)
+    qp = quantize(w, "q4bf16")
+    qh = quantize(w, "q4bf16_hs")
+    assert qh.spec.layout == "hsplit"
+    assert np.array_equal(np.asarray(qp.scale), np.asarray(qh.scale))
+    assert np.array_equal(
+        np.asarray(dequantize(qp, "float32")),
+        np.asarray(dequantize(qh, "float32")),
+    )
+    # padded repack: decode must still match (and match the unpadded)
+    qpp, qhp = pad_quantized_groups(qp), pad_quantized_groups(qh)
+    assert qhp.data.shape == qpp.data.shape
+    assert np.array_equal(
+        np.asarray(dequantize(qpp, "float32")),
+        np.asarray(dequantize(qhp, "float32")),
+    )
+
+
+def test_hsplit_checkpoint_spec_backcompat(tmp_path):
+    """Manifests written before QuantSpec.layout existed must load as
+    pair-packed (utils/checkpoint.py defaults the missing field)."""
+    import dataclasses
+    import json
+
+    import numpy as np
+
+    from mlc_llm_tpu.quant import quantize
+    from mlc_llm_tpu.utils.checkpoint import load_params, save_params
+
+    w = (np.random.default_rng(0).standard_normal((64, 128)) * 0.05
+         ).astype(np.float32)
+    qt = quantize(w, "q4bf16")
+    save_params({"w": qt}, str(tmp_path), meta={})
+    man = json.loads((tmp_path / "manifest.json").read_text())
+    # simulate a pre-layout manifest
+    for info in man["quantized"].values():
+        info["spec"].pop("layout", None)
+    (tmp_path / "manifest.json").write_text(json.dumps(man))
+    tree, _ = load_params(str(tmp_path))
+    assert tree["w"].spec.layout == "pair"
+    assert dataclasses.asdict(tree["w"].spec)["layout"] == "pair"
