@@ -272,12 +272,17 @@ def pad_quantized_groups(qt: QuantizedTensor, mult: int = 32) -> QuantizedTensor
         # silently shift every existing element: zero-pad at the CODE
         # level and repack (one-time init cost)
         def repack(d2):
-            codes = _unpack_words(d2, spec)  # element order
+            # u8 codes (values 0-15) keep the transient at 2x the packed
+            # size; layers repack SEQUENTIALLY — a vmap over 32 stacked
+            # 7B layers materialized ~12 GB of expanded codes and OOM'd
+            # the 16 GB HBM next to the resident weights
+            codes = _unpack_words(d2, spec).astype(jnp.uint8)
             codes = jnp.pad(codes, ((0, dg * spec.group_size), (0, 0)))
             return _pack_words(codes, spec)
 
-        data = (jax.vmap(repack)(qt.data) if qt.data.ndim == 3
-                else repack(qt.data))
+        data = (jnp.stack([repack(qt.data[i])
+                           for i in range(qt.data.shape[0])])
+                if qt.data.ndim == 3 else repack(qt.data))
     else:
         data = padrows(qt.data, dg * wpg)
 
