@@ -744,6 +744,9 @@ def _dequant_matmul_2d(
         if zero is None:
             zero = scale
         if hsplit:
+            assert bkg % 2 == 0, (
+                f"hsplit k-tile must cover an even group count, got "
+                f"bkg={bkg} (bkw={bkw}): tune hsplit bkw to 8-word units")
             kernel = functools.partial(
                 _kernel_pairs_hs, spec=spec, k_steps=k_steps,
                 out_dtype=out_dtype, stacked=False, interpret=interpret,
@@ -877,6 +880,11 @@ def _gp_pick_cg(n_groups_tile: int, m: int) -> Optional[int]:
 
 
 def gp_matmul_supported(spec: QuantSpec, n_groups: int, m: int) -> bool:
+    if spec.layout == "hsplit" and n_groups % 2 != 0:
+        # hsplit splits the group range in half per nibble plane
+        # (quantize() rejects odd-group hsplit tensors outright; this
+        # guard keeps the kernel unreachable for hand-built ones)
+        return False
     return (
         spec.mode == "int4"
         and spec.storage == "u32"
@@ -962,28 +970,34 @@ def _gp_body(xp, w2d, s2d, z2d, acc, *, spec: QuantSpec, Cg: int,
 
 def _gp_body_hs(xb, w2d, s2d, z2d, acc, *, spec: QuantSpec, Cg: int,
                 cpt: int, M: int, G: int, interpret: bool):
-    """Half-split gp chunk loop (full-k tiles only).
+    """Half-split gp chunk loop (full-k tiles only), WIDTH-32 bands.
 
-    xb: [2, cpt*Cg*M, 16Cg] banded halves (plane 0 = bands of x[:, :K/2],
-    plane 1 = x[:, K/2:]); w2d: [KW, BN]; s2d/z2d: [G, BN] (whole scale
-    array — k_steps is pinned to 1 under hsplit because the
-    element->nibble-slot mapping is global in k).
+    xb: [2, cpt*Cg2*M, 32*Cg2] banded halves (Cg2 = Cg//2; plane 0 =
+    bands of x[:, :K/2], plane 1 = x[:, K/2:]); w2d: [KW, BN]; s2d/z2d:
+    [G, BN] (whole scale array — k_steps is pinned to 1 under hsplit
+    because the element->nibble-slot mapping is global in k).
 
-    Each plane's band row holds 16 CONSECUTIVE original elements = half
-    a quant group, so scales repeat 2*M rows per real group and the two
-    planes read disjoint group ranges ([0, G/2) and [G/2, G)). Same dot
-    count as the pair gp body (2 per chunk)."""
+    Each band row holds 32 CONSECUTIVE original elements = exactly ONE
+    quant group, so scales slice directly per chunk ([Cg2, BN], no row
+    expansion). The round-3 width-16 form put HALF a group per row and
+    had to 2*M-interleave-repeat every scale row per chunk per plane —
+    a Mosaic sublane relayout in the hot loop that measured the hsplit
+    decode 21% slower than the pair layout (tpu_logs/hs_ab2.log). The
+    two planes read disjoint group ranges ([0, G/2) and [G/2, G)).
+    Same dot count as the pair gp body (2 per chunk) on a HALF-height
+    banded lhs."""
     dn = (((1,), (0,)), ((), ()))
+    Cg2 = Cg // 2
     wpc = 4 * Cg
-    rpc = Cg * M
-    gh = Cg // 2  # real groups per chunk per half
+    rpc = Cg2 * M
     for c in range(cpt):
         wc = w2d[c * wpc:(c + 1) * wpc, :]
         lo8, hi8 = _nibble_planes(wc, interpret)
         for p, plane8 in ((0, lo8), (1, hi8)):
-            g0 = (G // 2) * p + c * gh
-            sc = _row_repeat(
-                s2d[g0:g0 + gh, :].astype(jnp.float32), 2 * M)
+            g0 = (G // 2) * p + c * Cg2
+            sc = s2d[g0:g0 + Cg2, :].astype(jnp.float32)
+            if M > 1:
+                sc = _row_repeat(sc, M)
             xpb = xb[p, c * rpc:(c + 1) * rpc, :]
             P = jax.lax.dot_general(
                 xpb, plane8.astype(xpb.dtype), dn,
@@ -992,20 +1006,23 @@ def _gp_body_hs(xb, w2d, s2d, z2d, acc, *, spec: QuantSpec, Cg: int,
             if spec.sym:
                 acc = acc + sc * (P - float(spec.max_int) * sx)
             else:
-                zc = _row_repeat(
-                    z2d[g0:g0 + gh, :].astype(jnp.float32), 2 * M)
+                zc = z2d[g0:g0 + Cg2, :].astype(jnp.float32)
+                if M > 1:
+                    zc = _row_repeat(zc, M)
                 acc = acc + sc * P + zc * sx
     return acc
 
 
 def _band_store_hs(x_ref, xd_ref, *, Cg: int, cpt: int, M: int):
     """Band the raw activation's two contiguous halves into the
-    block-diagonal scratch [2, cpt*Cg*M, 16*Cg]. x_ref: [M, K] in the
-    compute dtype — every slice below is a stride-1 lane slice, so no
+    block-diagonal scratch [2, cpt*Cg2*M, 32*Cg2] (Cg2 = Cg//2; one
+    full quant group per band row). x_ref: [M, K] in the compute
+    dtype — every slice below is a stride-1 lane slice, so no
     XLA-side deinterleave exists at all (the whole point of hsplit)."""
-    band = _band_mask(Cg, 16, xd_ref.dtype)
-    cols = 16 * Cg
-    rpc = Cg * M
+    Cg2 = Cg // 2
+    band = _band_mask(Cg2, 32, xd_ref.dtype)
+    cols = 32 * Cg2  # == 16 * Cg
+    rpc = Cg2 * M
     KH = cpt * cols  # == K // 2
     for c in range(cpt):
         for p in range(2):
@@ -1119,13 +1136,20 @@ def _kernel_gp(*refs, spec: QuantSpec, Cg: int, cpt: int, M: int,
     @pl.when(kk == k_steps - 1)
     def _():
         a = acc_ref[:]
-        o_ref[:] = jnp.sum(a.reshape(Cg, M, a.shape[-1]), axis=0).astype(out_dtype)
+        red = (Cg // 2) if hsplit else Cg  # hsplit bands one GROUP per row
+        o_ref[:] = jnp.sum(a.reshape(red, M, a.shape[-1]), axis=0).astype(out_dtype)
 
 
-def _gp_blocks(m: int, kw: int, n: int):
+def _gp_blocks(m: int, kw: int, n: int, layout: str = "pair"):
     """Full-k tiles (k_steps=1) unless VMEM-bound; bn from the tuned
-    table else 512."""
-    tuned = _tuned_table().get(f"gp:{m}:{kw}:{n}")
+    table else 512. hsplit shapes get their own key namespace (gph:)
+    so they never silently reuse blocks tuned for the pair layout."""
+    key = f"gph:{m}:{kw}:{n}" if layout == "hsplit" else f"gp:{m}:{kw}:{n}"
+    tuned = _tuned_table().get(key)
+    if tuned is None and layout == "hsplit":
+        # untuned hsplit shape: the pair pick is the best prior (same
+        # bytes, same grid) — hsplit is full-k anyway so only bn matters
+        tuned = _tuned_table().get(f"gp:{m}:{kw}:{n}")
     if tuned:
         return tuned[0], tuned[1]
     bkw = kw
@@ -1163,8 +1187,8 @@ def _dequant_matmul_gp_2d(
     if x.shape[1] != k_stored:
         x = jnp.pad(x, ((0, 0), (0, k_stored - x.shape[1])))
 
-    bkw, bn = _gp_blocks(m, kw, n_stored)
     hsplit = spec.layout == "hsplit"
+    bkw, bn = _gp_blocks(m, kw, n_stored, layout=spec.layout)
     if hsplit:
         # the hsplit element->nibble-slot mapping is global in k, so
         # the kernel takes full-k tiles only (every tuned 7B pick is
@@ -1185,13 +1209,15 @@ def _dequant_matmul_gp_2d(
     am = (lambda f: (lambda i, j, kk, l: f(i, j, kk))) if stacked else (
         lambda f: f)
 
-    scratch = [pltpu.VMEM((Cg * m, bn), jnp.float32)]
+    acc_rows = (Cg // 2) * m if hsplit else Cg * m
+    scratch = [pltpu.VMEM((acc_rows, bn), jnp.float32)]
     if hsplit:
         # raw activation straight in; both halves are lane-sliced and
-        # banded inside the kernel (stride-1 only)
+        # banded inside the kernel (stride-1 only; width-32 bands =
+        # one group per row, half the band rows of the pair form)
         xp = x
         x_spec = pl.BlockSpec((m, k_stored), am(lambda i, j, kk: (0, 0)))
-        scratch.append(pltpu.VMEM((2, cpt * Cg * m, 16 * Cg), x.dtype))
+        scratch.append(pltpu.VMEM((2, cpt * (Cg // 2) * m, 16 * Cg), x.dtype))
     elif raw_x:
         # free bitcast: adjacent bf16 lane pairs -> one u32 word; the
         # kernel's sublane-expanding bitcast recovers the even/odd
@@ -1359,6 +1385,9 @@ def _dequant_matmul_stacked_2d(
         zero = scale
 
     if hsplit:
+        assert bkg % 2 == 0, (
+            f"hsplit k-tile must cover an even group count, got "
+            f"bkg={bkg} (bkw={bkw}): tune hsplit bkw to 8-word units")
         kernel = functools.partial(
             _kernel_pairs_hs, spec=spec, k_steps=k_steps,
             out_dtype=out_dtype, stacked=True, interpret=interpret,

@@ -237,6 +237,18 @@ def quantize(w: Array, spec) -> QuantizedTensor:
     if w.ndim != 2:
         raise ValueError(f"quantize expects a 2-D [k, n] weight, got shape {w.shape}")
     k, n = w.shape
+    if spec.layout == "hsplit":
+        # element q pairs with element K/2+q inside one byte, so the
+        # (group-padded) k must split into two equal group-aligned
+        # halves; otherwise the fused kernels' plane->group mapping is
+        # undefined (an odd group count previously surfaced as an opaque
+        # broadcast TypeError deep inside the Pallas kernel)
+        k_pad = -(-k // spec.group_size) * spec.group_size
+        if (k_pad // spec.group_size) % 2 != 0:
+            raise ValueError(
+                f"hsplit layout needs an even group count: k={k} gives "
+                f"{k_pad // spec.group_size} groups of {spec.group_size}; "
+                "use the 'pair' layout for this shape")
     data, scale, zero = _quantize_impl(jnp.asarray(w), spec)
     return QuantizedTensor(data=data, scale=scale, zero=zero, spec=spec, shape=(k, n))
 

@@ -53,7 +53,7 @@ def _bench_variant(qt, m: int, bkw: int, bn: int, steps=(16, 112)) -> float:
     orig_gp = dm._gp_blocks
     orig_gp3 = dm._gp3_bn
     dm._pick_blocks = lambda *a, **kw: (orig(*a, **kw)[0], bkw, bn)
-    dm._gp_blocks = lambda m_, kw_, n_: (bkw, bn)
+    dm._gp_blocks = lambda *a, **k: (bkw, bn)
     dm._gp3_bn = lambda m_, kw_, n_: bn
     for fn in (dm._dequant_matmul_2d, dm._dequant_matmul_gp_2d,
                dm._dequant_matmul_gp3_2d):
@@ -86,6 +86,13 @@ def _bench_variant(qt, m: int, bkw: int, bn: int, steps=(16, 112)) -> float:
         dm._pick_blocks = orig
         dm._gp_blocks = orig_gp
         dm._gp3_bn = orig_gp3
+        # evict executables traced with the LAST swept candidate's
+        # blocks: the jitted entry points cache by static args, so a
+        # same-process measurement after the sweep would silently run
+        # the last candidate instead of the shipped table
+        for fn in (dm._dequant_matmul_2d, dm._dequant_matmul_gp_2d,
+                   dm._dequant_matmul_gp3_2d):
+            fn.clear_cache()
 
 
 def _bench_variant_stacked(qts, m: int, bkw: int, bn: int,
@@ -128,7 +135,7 @@ def _bench_variant_stacked(qts, m: int, bkw: int, bn: int,
     orig_gp = dm._gp_blocks
     orig_gp3 = dm._gp3_bn
     dm._pick_blocks = lambda *a, **kw: (orig(*a, **kw)[0], bkw, bn)
-    dm._gp_blocks = lambda m_, kw_, n_: (bkw, bn)
+    dm._gp_blocks = lambda *a, **k: (bkw, bn)
     dm._gp3_bn = lambda m_, kw_, n_: bn
     for fn in (dm._dequant_matmul_stacked_2d, dm._dequant_matmul_gp_2d,
                dm._dequant_matmul_gp3_2d,
@@ -156,6 +163,11 @@ def _bench_variant_stacked(qts, m: int, bkw: int, bn: int,
         dm._pick_blocks = orig
         dm._gp_blocks = orig_gp
         dm._gp3_bn = orig_gp3
+        # see _bench_variant: evict last-candidate executables
+        for fn in (dm._dequant_matmul_stacked_2d, dm._dequant_matmul_gp_2d,
+                   dm._dequant_matmul_gp3_2d,
+                   dm._dequant_matmul_stacked_generic_2d):
+            fn.clear_cache()
 
 
 def _stack_quantized(qt, L: int):

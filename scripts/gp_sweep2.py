@@ -41,7 +41,7 @@ def kernel_us(qt, m, bn, steps, tag):
 
     orig = dm._gp_blocks
     orig3 = dm._gp3_bn
-    dm._gp_blocks = lambda m_, kw_, n_: (kw_, bn)
+    dm._gp_blocks = lambda m_, kw_, n_, *a, **kk: (kw_, bn)
     dm._gp3_bn = lambda m_, kw_, n_: bn
     dm._dequant_matmul_gp_2d.clear_cache()
     dm._dequant_matmul_gp3_2d.clear_cache()

@@ -1,5 +1,12 @@
 """Kernel-variant experiments for the fused dequant-gemv (round 2).
 
+NOTE: this file is a deliberate FAILED-EXPERIMENT ARCHIVE, kept so the
+losing designs (w4a8, bits16, supertile, per-tile re-banding) are not
+blindly retried; docs/PERF.md records the lessons. Nothing here is on
+any production path. For current measurement tools use
+mlc_llm_tpu.tune (block sweeps), scripts/ceiling.py (per-shape
+streaming ceilings), and scripts/profile_decode.py (step profiles).
+
 Round-1 kernel (i8 nibble-pair, ops/pallas/dequant_matmul.py) measures
 ~476 GB/s on the 45 MB w_in shape vs ~770 GB/s chip capability. Its
 per-element VPU work is ~2.4 ops (nibble isolate 0.375 + i8->bf16 cast
@@ -457,7 +464,7 @@ def main():
             if qtp.data.shape[1] % bn:
                 continue
             orig_gp = dm._gp_blocks
-            dm._gp_blocks = lambda m_, kw_, n_, _bn=bn: (kw_, _bn)
+            dm._gp_blocks = lambda m_, kw_, n_, *a, _bn=bn, **kk: (kw_, _bn)
             dm._dequant_matmul_gp_2d.clear_cache()
             try:
                 step = lambda x: dm.dequant_matmul(x, qtp)

@@ -152,6 +152,23 @@ def test_hsplit_layout_decodes_identically():
     )
 
 
+def test_hsplit_rejects_odd_group_count():
+    """hsplit pairs element q with K/2+q, so an odd group count (e.g.
+    K=96 -> 3 groups of 32) has no valid half-split; quantize must
+    raise a CLEAR error instead of an opaque broadcast failure deep in
+    the Pallas kernel (round-3 advisor finding)."""
+    import numpy as np
+    import pytest
+
+    from mlc_llm_tpu.quant import quantize
+
+    w = np.zeros((96, 128), np.float32)
+    with pytest.raises(ValueError, match="even group count"):
+        quantize(w, "q4bf16_hs")
+    # even group count is fine
+    quantize(np.zeros((128, 128), np.float32), "q4bf16_hs")
+
+
 def test_hsplit_checkpoint_spec_backcompat(tmp_path):
     """Manifests written before QuantSpec.layout existed must load as
     pair-packed (utils/checkpoint.py defaults the missing field)."""
