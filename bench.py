@@ -267,7 +267,8 @@ def _run():
     timed(2)  # compile pass
     # the tunneled chip time-shares with other tenants and sustained
     # bandwidth swings run-to-run; report the best of 3 long-minus-short
-    # pairs (each pair is internally consistent)
+    # pairs (each pair is internally consistent) AND the median, so a
+    # single lucky pair can't set the headline unnoticed
     cands = []
     for _ in range(3 if not on_cpu else 1):
         t_short = timed(n_short)
@@ -284,6 +285,7 @@ def _run():
         return
     per_step = min(cands)
     tok_s = 1.0 / per_step
+    tok_s_median = 1.0 / sorted(cands)[len(cands) // 2]
 
     # --- roofline ----------------------------------------------------------
     weight_bytes = _tree_device_bytes(params)
@@ -301,6 +303,7 @@ def _run():
         "unit": "tok/s",
         "vs_baseline": round(tok_s / target, 4),
         "backend": backend,
+        "value_median": round(tok_s_median, 2),
         "ttft_ms_ctx128": round(ttft_ms, 1),
         **{f"ttft_ms_ctx{c}": v for c, v in ttft_buckets.items()},
         "roofline_tok_s": round(roofline, 1),
@@ -319,6 +322,20 @@ def _run():
         result["measured_hbm_gbps"] = round(measured_bw / 1e9, 1)
         result["pct_of_measured_roofline"] = round(100 * tok_s / measured_roofline, 1)
 
+    def guard(tag: str, tok_s_val, bytes_per_step: int, batch: int = 1):
+        """tune.py's plausibility rule, applied to the BENCH itself
+        (round-3 verdict #2): a section whose implied HBM traffic
+        exceeds 1.05x this session's measured bandwidth is flagged —
+        such a number is a timing artifact, not a throughput.
+        """
+        if tok_s_val is None or measured_bw is None:
+            return
+        implied = (tok_s_val / batch) * bytes_per_step
+        if implied > 1.05 * measured_bw:
+            result[f"{tag}_implausible"] = round(implied / 1e9, 1)
+
+    guard("value", tok_s, bytes_per_token)
+
     # --- q3 + int8 KV decode (north-star config 4, single-chip cut) --------
     # (the 8-chip tensor-sharded variant of this config is exercised by
     # the multi-chip dryrun; one chip is what exists here)
@@ -330,7 +347,12 @@ def _run():
                 lambda x: _pad(x) if isinstance(x, _QT) else x,
                 params3, is_leaf=lambda x: isinstance(x, _QT),
             )
-            cache3 = init_kv_cache(cfg, batch=1, max_len=512, dtype=jnp.int8)
+            # same cache geometry as the q4 headline (max_len 2048,
+            # window-256 decode), so the two configs are directly
+            # comparable (round-3 verdict weak #5: q3 previously ran a
+            # 512-slot cache while q4 got the full treatment)
+            cache3 = init_kv_cache(cfg, batch=1, max_len=max_len,
+                                   dtype=jnp.int8)
             logits3, cache3 = prefill(params3, prompt, seq_lens, cache3,
                                       attn_window=context_len,
                             prefill_flash=True)
@@ -349,58 +371,53 @@ def _run():
                 b = _t3(n_long)
                 if b - a > 0:
                     cands3.append((b - a) / (n_long - n_short))
+            q3_bytes = _tree_device_bytes(params3)
             if cands3:
                 result["q3_int8kv_tok_s"] = round(1 / min(cands3), 2)
+                result["q3_int8kv_tok_s_median"] = round(
+                    1 / sorted(cands3)[len(cands3) // 2], 2)
+                guard("q3_int8kv_tok_s", result["q3_int8kv_tok_s"],
+                      q3_bytes + kv_bytes_per_tok // 2)  # int8 KV
             else:
                 result["q3_int8kv_tok_s"] = None
                 result["q3_error"] = "all deltas non-positive"
-            result["q3_weight_bytes"] = _tree_device_bytes(params3)
+            result["q3_weight_bytes"] = q3_bytes
+            # q3 TTFT at ctx 512 (same definition as the q4 buckets)
+            try:
+                p512 = jnp.asarray(
+                    np.random.default_rng(1).integers(10, 1000, size=(1, 512)),
+                    jnp.int32)
+                sl512 = jnp.full((1,), 512, jnp.int32)
+                c3b = init_kv_cache(cfg, batch=1, max_len=max_len,
+                                    dtype=jnp.int8)
+                lg, c3b = prefill(params3, p512, sl512, c3b,
+                                  attn_window=512, prefill_flash=True)
+                _readback(jnp.argmax(lg, -1))
+                c3b = init_kv_cache(cfg, batch=1, max_len=max_len,
+                                    dtype=jnp.int8)
+                t0 = time.perf_counter()
+                lg, c3b = prefill(params3, p512, sl512, c3b,
+                                  attn_window=512, prefill_flash=True)
+                f3 = sample_token(lg, jax.random.PRNGKey(1), 0.0, 1.0,
+                                  greedy=True)
+                _readback(f3)
+                result["q3_ttft_ms_ctx512"] = round(
+                    (time.perf_counter() - t0 - rtt) * 1e3, 1)
+                del c3b
+            except Exception:
+                pass
             del params3, cache3
         except Exception as e:
             result["q3_error"] = f"{type(e).__name__}: {e}"[:120]
         cache = init_kv_cache(cfg, batch=1, max_len=max_len)
 
-    # --- 8-way continuous-batching decode (north-star config 3) ------------
-    if not on_cpu:
-        try:
-            del cache
-            # short cache: ctx 128 + ~80 steps; keeps HBM well under the
-            # 16 GB budget next to the 4.2 GB weights
-            cache8 = init_kv_cache(cfg, batch=8, max_len=512)
-            prompts8 = jnp.tile(prompt, (8, 1))
-            lens8 = jnp.full((8,), context_len, jnp.int32)
-            logits8, cache8 = prefill(params, prompts8, lens8, cache8,
-                                      attn_window=context_len,
-                            prefill_flash=True)
-            tok8 = jnp.argmax(logits8, -1).astype(jnp.int32)[:, None]
-            def _t8(n):
-                nonlocal cache8, tok8
-                t0 = time.perf_counter()
-                out_tok, cache8 = decode_n(
-                    params, tok8, cache8, key, n, window=window
-                )
-                _readback(out_tok)
-                return time.perf_counter() - t0
-
-            _t8(2)  # compile
-            cands8 = []
-            for _ in range(2):
-                a = _t8(n_short)
-                b = _t8(n_long)
-                if b - a > 0:
-                    cands8.append((b - a) / (n_long - n_short))
-            if cands8:
-                result["batch8_tok_s"] = round(8 / min(cands8), 2)
-            else:
-                result["batch8_tok_s"] = None
-                result["batch8_error"] = "all deltas non-positive"
-            del cache8
-        except Exception as e:  # keep the headline metric printable
-            result["batch8_error"] = f"{type(e).__name__}"
-
-    # --- paged-KV batch-8 decode (north-star "paged KV-cache") -------------
-    # same model/prompts as batch8; the paged pools + page-table flash
-    # kernel replace the slot-contiguous cache (gate: within 10%)
+    # --- 8-way continuous-batching decode: slot-contiguous vs paged KV -----
+    # (north-star config 3 + "paged KV-cache"). The two cache layouts
+    # are timed with INTERLEAVED legs (slot, paged, slot, paged) in this
+    # one process, so the paged/slot ratio — the ≤1.10 gate — is read
+    # from adjacent pairs instead of riding cross-section drift
+    # (round-3 verdict weak #3: separate sections gave 0.83x one
+    # session and 0.946x the next).
     if not on_cpu:
         try:
             import dataclasses
@@ -410,6 +427,28 @@ def _run():
                 init_paged_kv_cache,
             )
 
+            del cache
+            prompts8 = jnp.tile(prompt, (8, 1))
+            lens8 = jnp.full((8,), context_len, jnp.int32)
+
+            # slot-contiguous: short cache (ctx 128 + ~80 steps) keeps
+            # both caches + 4.2 GB weights well inside 16 GB HBM
+            cache8 = init_kv_cache(cfg, batch=8, max_len=512)
+            logits8, cache8 = prefill(params, prompts8, lens8, cache8,
+                                      attn_window=context_len,
+                            prefill_flash=True)
+            tok8 = jnp.argmax(logits8, -1).astype(jnp.int32)[:, None]
+
+            def _t8(n):
+                nonlocal cache8, tok8
+                t0 = time.perf_counter()
+                out_tok, cache8 = decode_n(
+                    params, tok8, cache8, key, n, window=window
+                )
+                _readback(out_tok)
+                return time.perf_counter() - t0
+
+            # paged: page-pool KV + page-table flash kernel
             ps = 128
             ppsl = 512 // ps
             paged = init_paged_kv_cache(
@@ -422,8 +461,6 @@ def _run():
                 pg = alloc.alloc(ppsl)
                 table[b, : len(pg)] = pg
             paged = dataclasses.replace(paged, page_table=jnp.asarray(table))
-            prompts8 = jnp.tile(prompt, (8, 1))
-            lens8 = jnp.full((8,), context_len, jnp.int32)
             logits_p, paged = prefill(params, prompts8, lens8, paged,
                                       attn_window=context_len,
                             prefill_flash=True)
@@ -438,18 +475,38 @@ def _run():
                 _readback(out_tok)
                 return time.perf_counter() - t0
 
-            _tp(2)  # compile
-            candsp = []
+            _t8(2)  # compile+warm both executables BEFORE any timed leg
+            _tp(2)
+            cands8, candsp, ratios = [], [], []
             for _ in range(2):
-                a = _tp(n_short)
-                b = _tp(n_long)
-                if b - a > 0:
-                    candsp.append((b - a) / (n_long - n_short))
+                a8, b8 = _t8(n_short), _t8(n_long)
+                ap, bp = _tp(n_short), _tp(n_long)
+                d8 = (b8 - a8) / (n_long - n_short)
+                dp = (bp - ap) / (n_long - n_short)
+                if d8 > 0:
+                    cands8.append(d8)
+                if dp > 0:
+                    candsp.append(dp)
+                if d8 > 0 and dp > 0:
+                    ratios.append(dp / d8)  # paged cost per step vs slot
+            if cands8:
+                result["batch8_tok_s"] = round(8 / min(cands8), 2)
+                guard("batch8_tok_s", result["batch8_tok_s"],
+                      weight_bytes + 8 * kv_bytes_per_tok, batch=8)
+            else:
+                result["batch8_tok_s"] = None
+                result["batch8_error"] = "all deltas non-positive"
             if candsp:
                 result["paged_batch8_tok_s"] = round(8 / min(candsp), 2)
+                guard("paged_batch8_tok_s", result["paged_batch8_tok_s"],
+                      weight_bytes + 8 * kv_bytes_per_tok, batch=8)
             else:
                 result["paged_batch8_tok_s"] = None
                 result["paged_batch8_error"] = "all deltas non-positive"
+            if ratios:
+                # interleaved same-process ratio: >1.0 means paged costs
+                # more per step; the PARITY gate is <= 1.10
+                result["paged_over_slot_step_ratio"] = round(min(ratios), 3)
         except Exception as e:
             result["paged_batch8_error"] = f"{type(e).__name__}: {e}"[:120]
     print(json.dumps(result))
