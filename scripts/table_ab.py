@@ -1,15 +1,31 @@
-"""Same-process A/B of tuned-block tables on the FULL b1 decode step.
+"""Same-process interleaved A/B of tuned-block tables on the FULL b1
+decode step.
 
 The ultimate arbiter for block picks: microbenchmarks (even stacked
 ones) measure a kernel alone; this times the complete vicuna-7b q4bf16
-decode step (bench.py's exact protocol) once per table file, in ONE
-process so chip contention can't skew the comparison.
+decode step (bench.py's exact protocol) per table file, in ONE process
+so chip contention can't skew the comparison.
 
-    python scripts/table_ab.py old.json new.json [more.json ...]
+    python scripts/table_ab.py old.json new.json [--visits 2] [--tiny]
 
-Each leg clears the Pallas jit caches (block sizes are read at trace
-time, not static args) — expect ~2-4 min of tunnel compile per leg.
+Round-3 lesson (tpu_logs/table_ab.log): sequential legs are NOT enough —
+the first leg paid 78.7 s of compile while the second hit the
+persistent compile cache in 8.6 s, and the measured 6% "regression"
+tracked that asymmetry, not the blocks. This version:
+
+- visits the tables in an INTERLEAVED order (A, B, A, B, ...), so slow
+  drift in chip contention hits both tables equally;
+- warms (compiles + runs) each visit's executables BEFORE any timed
+  call, and reports the warm time separately from the measurement;
+- reports every visit's delta, the best, and the median — a decision
+  needs the per-visit spread, not one number per table.
+
+Block sizes are read at TRACE time (not jit static args), so each
+visit clears the Pallas jit caches and re-traces; visits after the
+first hit the persistent on-disk compile cache, keeping re-visit
+warmup to seconds.
 """
+import argparse
 import importlib
 import json
 import os
@@ -23,9 +39,27 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_STATE = {}
 
-def run_leg(table_path: str, n_short=8, n_long=72,
-            model="vicuna-v1-7b", tiny=False) -> float:
+
+def _setup(model: str, tiny: bool):
+    from mlc_llm_tpu.models import get_config, init_random_params
+    from mlc_llm_tpu.quant.groupwise import QuantizedTensor as _QT
+    from mlc_llm_tpu.quant.groupwise import pad_quantized_groups as _pad
+
+    cfg = get_config(model)
+    if tiny:
+        cfg = cfg.replace(num_layers=2, max_seq_len=256)
+    params = init_random_params(cfg, "q4bf16", seed=0, fabricate=True)
+    params = jax.tree.map(
+        lambda x: _pad(x) if isinstance(x, _QT) else x, params,
+        is_leaf=lambda x: isinstance(x, _QT),
+    )
+    _STATE.update(cfg=cfg, params=params)
+
+
+def run_visit(table_path: str, n_short=8, n_long=72, tiny=False):
+    """One warmed visit: returns (per_step_seconds | None, warm_s)."""
     os.environ["MLC_TUNED_BLOCKS"] = table_path
     dm = importlib.import_module("mlc_llm_tpu.ops.pallas.dequant_matmul")
     dm._TUNED = None
@@ -34,23 +68,13 @@ def run_leg(table_path: str, n_short=8, n_long=72,
                dm._dequant_matmul_stacked_generic_2d):
         fn.clear_cache()
 
-    from mlc_llm_tpu.models import (
-        forward, get_config, init_kv_cache, init_random_params,
-    )
+    from mlc_llm_tpu.models import forward, init_kv_cache
     from mlc_llm_tpu.ops.sampling import sample_token
-    from mlc_llm_tpu.quant.groupwise import QuantizedTensor as _QT
-    from mlc_llm_tpu.quant.groupwise import pad_quantized_groups as _pad
 
-    cfg = get_config(model)
+    cfg, params = _STATE["cfg"], _STATE["params"]
     if tiny:
-        cfg = cfg.replace(num_layers=2, max_seq_len=256)
         n_short, n_long = 2, 6
     context_len = 128
-    params = init_random_params(cfg, "q4bf16", seed=0, fabricate=True)
-    params = jax.tree.map(
-        lambda x: _pad(x) if isinstance(x, _QT) else x, params,
-        is_leaf=lambda x: isinstance(x, _QT),
-    )
     cache = init_kv_cache(cfg, batch=1, max_len=min(cfg.max_seq_len, 2048))
 
     @partial(jax.jit, donate_argnames=("cache",), static_argnames=("window",))
@@ -65,6 +89,7 @@ def run_leg(table_path: str, n_short=8, n_long=72,
         tok, cache, key = jax.lax.fori_loop(0, n, body, (tok, cache, key))
         return tok, cache
 
+    t_warm0 = time.perf_counter()
     logits, cache = forward(
         params, cfg,
         jnp.asarray(np.random.default_rng(0).integers(
@@ -82,29 +107,48 @@ def run_leg(table_path: str, n_short=8, n_long=72,
         float(jnp.asarray(out_tok).reshape(-1)[0])
         return time.perf_counter() - t0
 
-    timed(2)  # compile
-    best = float("inf")
-    for _ in range(3):
+    timed(2)  # compile + warm (kept OUT of the measurement)
+    warm_s = time.perf_counter() - t_warm0
+    best = None
+    for _ in range(2):
         d = (timed(n_long) - timed(n_short)) / (n_long - n_short)
-        if d > 0:
-            best = min(best, d)
-    del params, cache
-    return best
+        if d > 0 and (best is None or d < best):
+            best = d
+    del cache
+    return best, warm_s
 
 
 def main():
-    tiny = "--tiny" in sys.argv
-    tables = [a for a in sys.argv[1:] if a != "--tiny"]
-    assert len(tables) >= 2, "need at least two table files"
+    ap = argparse.ArgumentParser()
+    ap.add_argument("tables", nargs="+", help="two or more table JSON files")
+    ap.add_argument("--visits", type=int, default=2,
+                    help="interleaved visits per table")
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--model", default="vicuna-v1-7b")
+    args = ap.parse_args()
+    assert len(args.tables) >= 2, "need at least two table files"
+
+    _setup(args.model, args.tiny)
+    deltas = {p: [] for p in args.tables}
+    warms = {p: [] for p in args.tables}
+    for v in range(args.visits):
+        for path in args.tables:  # A, B, A, B, ...
+            d, w = run_visit(path, tiny=args.tiny)
+            deltas[path].append(d)
+            warms[path].append(round(w, 1))
+            print(json.dumps({"visit": v, "table": path,
+                              "tok_s": round(1 / d, 2) if d else None,
+                              "warm_s": round(w, 1)}), flush=True)
     out = {}
-    for path in tables:
-        t0 = time.perf_counter()
-        per_step = run_leg(path, tiny=tiny)
+    for path in args.tables:
+        ds = [d for d in deltas[path] if d]
         out[path] = {
-            "tok_s": round(1.0 / per_step, 2) if per_step > 0 else None,
-            "leg_wall_s": round(time.perf_counter() - t0, 1),
+            "tok_s_best": round(1 / min(ds), 2) if ds else None,
+            "tok_s_median": round(1 / sorted(ds)[len(ds) // 2], 2) if ds else None,
+            "tok_s_per_visit": [round(1 / d, 2) if d else None
+                                for d in deltas[path]],
+            "warm_s_per_visit": warms[path],
         }
-        print(json.dumps({path: out[path]}), flush=True)
     print(json.dumps({"table_ab": out}))
 
 
