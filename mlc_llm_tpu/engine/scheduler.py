@@ -420,6 +420,12 @@ class ContinuousBatchingScheduler:
             return False
         if len(self.active) > self.speculative_max_batch:
             return False
+        from .speculative import rtt_gate_ok
+
+        if not rtt_gate_ok(self.engine):
+            # host-driven verify passes lose to the pipelined loop at
+            # this deployment's RTT (engine/speculative.py)
+            return False
         if self.engine.kv_layout != "slot" or self._reserved:
             return False
         for req in self.active.values():

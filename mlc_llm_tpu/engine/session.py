@@ -22,6 +22,7 @@ from ..conversation import Conversation, get_conversation
 from ..models.config import ModelConfig
 from ..tokenizer import Tokenizer
 from .engine import GenerationConfig, InferenceEngine
+from .speculative import rtt_gate_ok as _spec_ok
 
 
 @dataclasses.dataclass
@@ -206,9 +207,12 @@ class ChatSession:
 
         if self.scheduler is not None:
             source = self._scheduler_tokens(tokens, gen)
-        elif self.speculative_k and gen.temperature == 0.0:
+        elif self.speculative_k and gen.temperature == 0.0 and _spec_ok(
+                self.engine):
             # greedy turns ride prompt-lookup speculation (exact same
-            # token stream, fewer forward passes on repetitive text)
+            # token stream, fewer forward passes on repetitive text);
+            # the RTT gate keeps it off on tunneled chips, where the
+            # pipelined plain loop is faster (engine/speculative.py)
             source = self._speculative_tokens(tokens, gen)
         else:
             source = self._engine_tokens(tokens, gen)

@@ -44,6 +44,50 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def rtt_gate_ok(engine, threshold_ms: Optional[float] = None) -> bool:
+    """Deployment gate: engage speculation only where it can actually win.
+
+    Prompt-lookup speculation is HOST-DRIVEN — every verify pass costs
+    one host<->device round trip (the drafter needs the verified ids
+    back) — while the plain decode loop runs fully pipelined on device.
+    On a tunneled/remote chip the RTT alone spans several device steps,
+    so at ~2 tokens/pass speculation is a net LOSS there (round-3
+    on-chip capture, scripts/spec_bench.py: 51.3 tok/s vs the pipelined
+    loop's 137; docs/PARITY.md). The gate measures the RTT once per
+    engine with a trivial program and enables speculation only when it
+    is small (local chip / CPU). MLC_SPEC_FORCE=1 overrides (used by
+    spec_bench to measure the host-driven paths regardless);
+    MLC_SPEC_RTT_GATE_MS tunes the threshold (default 2 ms).
+    """
+    import os
+    import time
+
+    if os.environ.get("MLC_SPEC_FORCE") == "1":
+        return True
+    cached = getattr(engine, "_spec_rtt_ok", None)
+    if cached is not None:
+        return cached
+    if threshold_ms is None:
+        threshold_ms = float(os.environ.get("MLC_SPEC_RTT_GATE_MS", "2.0"))
+    triv = jax.jit(lambda x: x + 1)
+    float(triv(jnp.float32(0.0)))  # compile outside the timed window
+    t0 = time.perf_counter()
+    for i in range(3):
+        float(triv(jnp.float32(i)))
+    rtt_ms = (time.perf_counter() - t0) / 3 * 1e3
+    ok = rtt_ms <= threshold_ms
+    engine._spec_rtt_ok = ok
+    if not ok:
+        import logging
+
+        logging.getLogger("mlc_llm_tpu").info(
+            "speculative decoding disabled: host-device RTT %.1f ms > "
+            "%.1f ms gate (the pipelined on-device loop is faster at "
+            "this RTT; set MLC_SPEC_FORCE=1 to override)",
+            rtt_ms, threshold_ms)
+    return ok
+
+
 class NgramDrafter:
     """Propose continuation tokens by matching the current suffix
     n-gram against the sequence's own history (prompt + generated)."""

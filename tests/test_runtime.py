@@ -257,3 +257,72 @@ def test_cli_artifact_search_skips_wrong_quantization(tmp_path, capsys, monkeypa
     assert "built as q3bf16" in capsys.readouterr().err
     # matching request finds it
     assert find_artifacts("tiny-llama", "q3bf16") == "dist/tiny-llama"
+
+
+# ---------------------------------------------------------------------------
+# Real-BPE tokenizer fixture (tests/fixtures/tiny_bpe): a 491-token
+# byte-level BPE trained offline and committed, so the HFTokenizer
+# bridge + UTF-8 holdback + multi-token stop strings run in CI against
+# real multi-byte BPE token streams instead of only the 1-byte
+# ByteTokenizer (reference: llm_chat.cc:428-448,726-749).
+
+import os as _os
+
+FIXTURE_TOK = _os.path.join(_os.path.dirname(__file__), "fixtures", "tiny_bpe")
+
+
+def test_bpe_fixture_loads_and_round_trips():
+    from mlc_llm_tpu.tokenizer import HFTokenizer
+
+    t = load_tokenizer(FIXTURE_TOK)
+    assert isinstance(t, HFTokenizer)
+    for s in ("Hello, world!", "naïve café — déjà vu", "日本語 🚀✨",
+              "### Instruction:\ndef f(x):\n    return x + 1"):
+        assert t.decode(t.encode(s)) == s
+    # multi-byte chars span multiple byte-level tokens: partial decodes
+    # surface U+FFFD, which the streaming layer must hold back
+    ids = t.encode("🚀")
+    assert len(ids) > 1
+    assert "�" in t.decode(ids[:1])
+
+
+def test_chat_session_bpe_streaming_utf8_holdback_and_stop():
+    """Drive ChatSession's streaming layer with a scripted BPE token
+    stream: a multi-byte emoji split across tokens (held back until
+    complete) and a stop string arriving ACROSS MULTIPLE TOKENS (never
+    emitted)."""
+    from types import SimpleNamespace
+
+    from mlc_llm_tpu.engine.session import ChatConfig, ChatSession
+
+    t = load_tokenizer(FIXTURE_TOK)
+    # scripted reply: emoji (multi-token), text, then the vicuna stop
+    # string "</s>" built from two pieces, then junk that must not leak
+    reply_ids = (t.encode("ok 🚀 fine") + t.encode("</") + t.encode("s>")
+                 + t.encode(" JUNK"))
+    stop_text = t.decode(t.encode("</") + t.encode("s>"))
+    assert stop_text == "</s>"
+
+    cfg = SimpleNamespace(conv_template="vicuna_v1.1", bos_token_id=None)
+    sess = ChatSession(engine=SimpleNamespace(max_seq_len=512,
+                                              reset=lambda slots: None),
+                       tokenizer=t,
+                       cfg=cfg,
+                       chat=ChatConfig(temperature=0.0, max_gen_len=64,
+                                       max_window_size=512))
+    def scripted(tokens, gen):
+        yield from reply_ids
+
+    sess._engine_tokens = scripted
+
+    chunks = list(sess.chat_stream("hi"))
+    text = "".join(chunks)
+    assert text == "ok 🚀 fine"
+    # no partial UTF-8 ever leaked mid-stream
+    assert all("�" not in c for c in chunks)
+    # the emoji arrived in one piece in a single chunk
+    assert any("🚀" in c for c in chunks)
+    # the multi-token stop string and everything after it were cropped
+    assert "</s>" not in text and "JUNK" not in text
+    # reply recorded in conversation history without the stop string
+    assert sess.conv.messages[-1][1] == "ok 🚀 fine"
