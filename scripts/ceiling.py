@@ -61,8 +61,10 @@ def hbm_probe() -> float:
     return bw
 
 
-@functools.partial(jax.jit, static_argnames=("bkw", "bn", "k_steps"))
-def _stream_call(layer, data, scale, zero, *, bkw, bn, k_steps):
+@functools.partial(jax.jit,
+                   static_argnames=("bkw", "bn", "k_steps", "interpret"))
+def _stream_call(layer, data, scale, zero, *, bkw, bn, k_steps,
+                 interpret=False):
     """One full pass over layer `layer` of the stacked buffers, DMA'ing
     the exact blocks the stacked gp kernel DMAs, with a trivial reduce."""
     L, kw, n = data.shape
@@ -104,6 +106,7 @@ def _stream_call(layer, data, scale, zero, *, bkw, bn, k_steps):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
+        interpret=interpret,
     )(layer, data, scale, zero)
 
 
@@ -167,9 +170,14 @@ def main():
     ap.add_argument("--model", default="vicuna-v1-7b")
     ap.add_argument("--alternates", action="store_true",
                     help="also sweep alternate blocks on the laggard shapes")
+    ap.add_argument("--cpu", action="store_true",
+                    help="CPU smoke (interpret-mode stream kernel)")
     ap.add_argument("--shapes", default=None,
                     help="comma-separated k x n pairs, e.g. 4096x4096,11008x4096")
     args = ap.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     import importlib
 
@@ -218,10 +226,13 @@ def main():
             data, scale = qts.data, qts.scale
             zero = qts.zero if qts.zero is not None else qts.scale
 
+            interp = jax.default_backend() == "cpu"
+
             def stream_one(l):
                 return _stream_call(l[None] if l.ndim == 0 else l,
                                     data, scale, zero,
-                                    bkw=bkw, bn=bn, k_steps=k_steps)
+                                    bkw=bkw, bn=bn, k_steps=k_steps,
+                                    interpret=interp)
 
             def stream_scalar(l):
                 return stream_one(jnp.asarray(l, jnp.int32).reshape(1))
