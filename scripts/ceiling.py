@@ -81,11 +81,11 @@ def _stream_call(layer, data, scale, zero, *, bkw, bn, k_steps,
         z = z_ref[0]
         # touch every block fully (cheap VPU reduce, far below the DMA
         # bound) so no buffer fetch can be elided
-        ws = jnp.sum((w >> 1).astype(jnp.int32), axis=0)
-        ss = jnp.sum(s.astype(jnp.float32), axis=0)
-        zs = jnp.sum(z.astype(jnp.float32), axis=0)
-        tot = ws.astype(jnp.float32) + ss + zs  # [bn]
-        acc_ref[0:1, :] = acc_ref[0:1, :] + tot[None, :128]
+        ws = jnp.sum((w >> 1).astype(jnp.int32), axis=0, keepdims=True)
+        ss = jnp.sum(s.astype(jnp.float32), axis=0, keepdims=True)
+        zs = jnp.sum(z.astype(jnp.float32), axis=0, keepdims=True)
+        tot = ws.astype(jnp.float32) + ss + zs  # [1, bn]
+        acc_ref[0:1, :] = acc_ref[0:1, :] + tot[:, :128]
         o_ref[:] = acc_ref[:]
 
     gs = pltpu.PrefetchScalarGridSpec(
