@@ -1027,7 +1027,7 @@ def _band_store_hs(x_ref, xd_ref, *, Cg: int, cpt: int, M: int):
     for c in range(cpt):
         for p in range(2):
             xs = x_ref[:, p * KH + c * cols:p * KH + (c + 1) * cols]
-            xd_ref[p, c * rpc:(c + 1) * rpc, :] = (
+            xd_ref[0, p, c * rpc:(c + 1) * rpc, :] = (
                 band[:, None, :] * xs[None, :, :]
             ).reshape(rpc, cols)
 
@@ -1048,9 +1048,11 @@ def _u32_halves_bf16(xu: Array, interpret: bool) -> Array:
 
 
 def _band_store(xp_ref, xd_ref, *, Cg: int, cpt: int, M: int,
-                raw: bool = False, interpret: bool = False):
-    """Band the plane activations into the block-diagonal scratch
-    layout [2, cpt*Cg*M, 16*Cg] (rows Cg-major per chunk).
+                raw: bool = False, interpret: bool = False,
+                k_steps: int = 1):
+    """Band the FULL-k plane activations into the block-diagonal
+    scratch layout [k_steps, 2, cpt*Cg*M, 16*Cg] (rows Cg-major per
+    chunk; section kk holds the chunks k-tile kk consumes).
 
     raw=False: xp_ref is the XLA-deinterleaved [2, M, 4*KW] planes.
     raw=True (M==1 only): xp_ref is the activation viewed as u32 lane
@@ -1064,18 +1066,20 @@ def _band_store(xp_ref, xd_ref, *, Cg: int, cpt: int, M: int,
     band = _band_mask(Cg, 16, xd_ref.dtype)
     cols = 16 * Cg
     rpc = Cg * M
-    for c in range(cpt):
-        if raw:
-            xc = xp_ref[:, c * cols:(c + 1) * cols]  # [1, 16Cg] u32
-            halves = _u32_halves_bf16(xc, interpret)  # [2, 16Cg]
-        for p in range(2):
+    for sec in range(k_steps):
+        for c in range(cpt):
+            g = sec * cpt + c  # global chunk along full k
             if raw:
-                xs = halves[p:p + 1, :]  # [1, 16Cg]
-            else:
-                xs = xp_ref[p, :, c * cols:(c + 1) * cols]  # [M, 16Cg]
-            xd_ref[p, c * rpc:(c + 1) * rpc, :] = (
-                band[:, None, :] * xs[None, :, :]
-            ).reshape(rpc, cols)
+                xc = xp_ref[:, g * cols:(g + 1) * cols]  # [1, 16Cg] u32
+                halves = _u32_halves_bf16(xc, interpret)  # [2, 16Cg]
+            for p in range(2):
+                if raw:
+                    xs = halves[p:p + 1, :]  # [1, 16Cg]
+                else:
+                    xs = xp_ref[p, :, g * cols:(g + 1) * cols]  # [M, 16Cg]
+                xd_ref[sec, p, c * rpc:(c + 1) * rpc, :] = (
+                    band[:, None, :] * xs[None, :, :]
+                ).reshape(rpc, cols)
 
 
 def _kernel_gp(*refs, spec: QuantSpec, Cg: int, cpt: int, M: int,
@@ -1102,21 +1106,25 @@ def _kernel_gp(*refs, spec: QuantSpec, Cg: int, cpt: int, M: int,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     if band_scratch:
-        # k_steps == 1: band ONCE into VMEM scratch at the first n-tile
-        # and reuse for every tile — no XLA-side diag prep (each prep
-        # chain cost ~5 us/op of latency-bound glue), no per-tile
-        # re-banding (27% slower when recomputed per tile)
+        # band the FULL k range ONCE into VMEM scratch at the first
+        # grid step and reuse for every (n, k) tile — no XLA-side diag
+        # prep (each prep chain cost ~5 us/op of latency-bound glue),
+        # no per-tile re-banding (27% slower when recomputed per tile).
+        # Round 4 extends this to k_steps > 1 (the w_out shape was
+        # pinned to one huge full-k tile and ran at 75% of its own
+        # streaming ceiling): the scratch holds one section per k-tile
+        # and the body reads section kk.
         xd_ref = scratch[0]
 
-        @pl.when(pl.program_id(1) == 0)
+        @pl.when((pl.program_id(1) == 0) & (kk == 0))
         def _():
             if hsplit:
                 _band_store_hs(xp_ref, xd_ref, Cg=Cg, cpt=cpt, M=M)
             else:
                 _band_store(xp_ref, xd_ref, Cg=Cg, cpt=cpt, M=M, raw=raw_x,
-                            interpret=interpret)
+                            interpret=interpret, k_steps=k_steps)
 
-        x_in = xd_ref[:]
+        x_in = xd_ref[kk]
         banded = True
     else:
         x_in = xp_ref[:]
@@ -1199,9 +1207,14 @@ def _dequant_matmul_gp_2d(
     Gt = G // k_steps
     Cg = _gp_pick_cg(Gt, m)
     cpt = (4 * bkw) // (16 * Cg)
-    band_scratch = k_steps == 1
-    prebanded = m == 1 and not band_scratch
-    raw_x = (not hsplit and band_scratch and GP_RAW_X and m == 1
+    # full-k band scratch at ANY k_steps (round 4): the raw activation
+    # rides in whole with a constant index map (a few KB at m<=8) and
+    # is banded once at the first grid step into one scratch section
+    # per k-tile. The old prebanded XLA-diag path (m==1, k_steps>1)
+    # is gone — it paid ~5 us/op of latency-bound XLA prep per call.
+    band_scratch = True
+    prebanded = False
+    raw_x = (not hsplit and GP_RAW_X and m == 1
              and x.dtype == jnp.bfloat16)
 
     # the stacked (scalar-prefetch) grid passes the layer ref as a
@@ -1217,26 +1230,24 @@ def _dequant_matmul_gp_2d(
         # one group per row, half the band rows of the pair form)
         xp = x
         x_spec = pl.BlockSpec((m, k_stored), am(lambda i, j, kk: (0, 0)))
-        scratch.append(pltpu.VMEM((2, cpt * (Cg // 2) * m, 16 * Cg), x.dtype))
+        scratch.append(pltpu.VMEM((1, 2, cpt * (Cg // 2) * m, 16 * Cg),
+                                  x.dtype))
     elif raw_x:
         # free bitcast: adjacent bf16 lane pairs -> one u32 word; the
         # kernel's sublane-expanding bitcast recovers the even/odd
         # planes with no XLA transpose chain
         xp = jax.lax.bitcast_convert_type(
             x.reshape(m, k_stored // 2, 2), jnp.uint32)
-        x_spec = pl.BlockSpec((m, 4 * bkw), am(lambda i, j, kk: (0, kk)))
-        scratch.append(pltpu.VMEM((2, cpt * Cg * m, 16 * Cg), x.dtype))
-    elif prebanded:
-        xp = _prep_pairs_diag(x, kw, Cg, x.dtype)
-        x_spec = pl.BlockSpec((2, cpt * Cg, 16 * Cg),
-                              am(lambda i, j, kk: (0, kk, 0)))
+        x_spec = pl.BlockSpec((m, 4 * kw), am(lambda i, j, kk: (0, 0)))
+        scratch.append(pltpu.VMEM((k_steps, 2, cpt * Cg * m, 16 * Cg),
+                                  x.dtype))
     else:
         xr = x.reshape(m, kw, 4, 2)
         xp = xr.transpose(3, 0, 1, 2).reshape(2, m, kw * 4)
-        x_spec = pl.BlockSpec((2, m, 4 * bkw),
-                              am(lambda i, j, kk: (0, 0, kk)))
-        if band_scratch:
-            scratch.append(pltpu.VMEM((2, cpt * Cg * m, 16 * Cg), x.dtype))
+        x_spec = pl.BlockSpec((2, m, 4 * kw),
+                              am(lambda i, j, kk: (0, 0, 0)))
+        scratch.append(pltpu.VMEM((k_steps, 2, cpt * Cg * m, 16 * Cg),
+                                  x.dtype))
 
     if stacked:
         def wb(bs):

@@ -210,7 +210,8 @@ def main():
         prod_bkw, prod_bn = dm._gp_blocks(1, kw, n_stored)
         blocks_list = [(prod_bkw, prod_bn)]
         if args.alternates:
-            for b in ((kw, 256), (kw, 1024), (kw // 2, prod_bn)):
+            for b in ((kw, 256), (kw, 1024), (kw // 2, prod_bn),
+                      (kw // 4, prod_bn)):
                 bkw_, bn_ = b
                 if (bkw_ >= 4 and kw % bkw_ == 0 and n_stored % bn_ == 0
                         and b not in blocks_list and bkw_ % 4 == 0):
