@@ -902,23 +902,6 @@ def _band_mask(Cg: int, width: int, dtype):
     return (ic // width == iu).astype(dtype)
 
 
-def _prep_pairs_diag(x: Array, kw: int, Cg: int, dtype):
-    """m=1 fast path: x [1, K] -> ONE [2, NC*Cg, 16*Cg] block-diagonal
-    array (plane 0 = even k, plane 1 = odd k), built in XLA as a single
-    fused op chain per call (two separate per-plane chains doubled the
-    tiny-op dispatch count — 256 chains/step at 7B). The in-kernel
-    band-multiply re-runs per n-tile and measured 27% slower at m=1
-    (531 vs 673 GB/s same-process, scripts/kexp.py prod vs gp16);
-    m>1 keeps the in-kernel band (the m-fold diag would be large)."""
-    xr = x.reshape(kw, 4, 2)
-    xp = xr.transpose(2, 0, 1).reshape(2, kw * 4)
-    nc = (kw * 4) // (16 * Cg)
-    eye = jnp.eye(Cg, dtype=jnp.float32)
-    v3 = xp.astype(jnp.float32).reshape(2, nc, Cg, 16)
-    d = v3[:, :, None, :, :] * eye[None, None, :, :, None]
-    return d.reshape(2, nc * Cg, 16 * Cg).astype(dtype)
-
-
 def _gp_body(xp, w2d, s2d, z2d, acc, *, spec: QuantSpec, Cg: int,
              cpt: int, M: int, prebanded: bool, interpret: bool):
     """Shared chunk loop for the flat and stacked gp kernels.
