@@ -170,6 +170,9 @@ def main():
     ap.add_argument("--model", default="vicuna-v1-7b")
     ap.add_argument("--alternates", action="store_true",
                     help="also sweep alternate blocks on the laggard shapes")
+    ap.add_argument("--blocks", default=None,
+                    help="explicit block list 'bkw x bn' pairs, e.g. "
+                         "704x512,352x512 (applies to every shape)")
     ap.add_argument("--cpu", action="store_true",
                     help="CPU smoke (interpret-mode stream kernel)")
     ap.add_argument("--shapes", default=None,
@@ -209,6 +212,9 @@ def main():
                           + (qt.zero.nbytes if qt.zero is not None else 0))
         prod_bkw, prod_bn = dm._gp_blocks(1, kw, n_stored)
         blocks_list = [(prod_bkw, prod_bn)]
+        if args.blocks:
+            blocks_list = [tuple(map(int, b.split("x")))
+                           for b in args.blocks.split(",")]
         if args.alternates:
             for b in ((kw, 256), (kw, 1024), (kw // 2, prod_bn),
                       (kw // 4, prod_bn)):
@@ -238,8 +244,15 @@ def main():
             def stream_scalar(l):
                 return stream_one(jnp.asarray(l, jnp.int32).reshape(1))
 
-            t_ceil = _timed_loop(stream_scalar, L, bytes_per_call,
-                                 f"ceil:{shape_key}:{tag}")
+            try:
+                t_ceil = _timed_loop(stream_scalar, L, bytes_per_call,
+                                     f"ceil:{shape_key}:{tag}")
+            except Exception as e:
+                print(json.dumps({"kind": "ceiling", "shape": shape_key,
+                                  "blocks": [bkw, bn],
+                                  "error": f"{type(e).__name__}"}),
+                      flush=True)
+                t_ceil = float("inf")
             g_ceil = bytes_per_call / t_ceil / 1e9 if t_ceil < float("inf") else None
             print(json.dumps({"kind": "ceiling", "shape": shape_key,
                               "blocks": [bkw, bn],
@@ -261,8 +274,15 @@ def main():
                     y = dm.dequant_matmul_stacked(x0, qts, l)
                     return y[:, :1]
 
-                t_gp = _timed_loop(gp_one, L, bytes_per_call,
-                                   f"gp:{shape_key}:{tag}")
+                try:
+                    t_gp = _timed_loop(gp_one, L, bytes_per_call,
+                                       f"gp:{shape_key}:{tag}")
+                except Exception as e:
+                    print(json.dumps({"kind": "gp", "shape": shape_key,
+                                      "blocks": [bkw, bn],
+                                      "error": f"{type(e).__name__}"[:80]}),
+                          flush=True)
+                    t_gp = float("inf")
             finally:
                 dm._gp_blocks = orig_gp
                 for fn in (dm._dequant_matmul_gp_2d,
