@@ -154,30 +154,37 @@ def _run():
         _readback(triv(jnp.float32(i)))
     rtt = (time.perf_counter() - t0) / 3
 
-    # measure ACHIEVABLE HBM read bandwidth (this environment's chip has
-    # been observed at ~200 GB/s sustained vs the 819 GB/s v5e spec —
-    # possibly a virtualization cap/contention; report both rooflines)
-    measured_bw = None
-    if not on_cpu:
-      try:
-        buf = jax.random.bits(jax.random.PRNGKey(1), (256, 1024, 1024), jnp.uint32)
-        red = jax.jit(lambda w, s: (w >> 4).sum(dtype=jnp.uint32) + s)
-        s = red(buf, jnp.uint32(0))
-        _readback(s)
+    # measure ACHIEVABLE HBM read bandwidth. The chip is time-shared:
+    # a single probe can catch a contended window (596 GB/s observed
+    # minutes from 808 GB/s) and then falsely flag honest sections as
+    # implausible — so probe at the START and again at the END of the
+    # run and use the MAX (the guard needs the chip's ceiling, not its
+    # most congested moment)
+    def probe_hbm():
+        try:
+            buf = jax.random.bits(
+                jax.random.PRNGKey(1), (256, 1024, 1024), jnp.uint32)
+            red = jax.jit(lambda w, s: (w >> 4).sum(dtype=jnp.uint32) + s)
+            acc = red(buf, jnp.uint32(0))
+            _readback(acc)
 
-        def reduce_n(n):
-            nonlocal s
-            t0 = time.perf_counter()
-            for _ in range(n):
-                s = red(buf, s)
-            _readback(s)
-            return time.perf_counter() - t0
+            def reduce_n(n):
+                nonlocal acc
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    acc = red(buf, acc)
+                _readback(acc)
+                return time.perf_counter() - t0
 
-        t2, t10 = reduce_n(2), reduce_n(10)
-        measured_bw = 8 * buf.nbytes / max(t10 - t2, 1e-6)
-        del buf, s
-      except Exception:
-        measured_bw = None
+            t2, t10 = reduce_n(2), reduce_n(10)
+            bw = 8 * buf.nbytes / max(t10 - t2, 1e-6)
+            del buf, acc
+            # discard physically implausible probe readings (spec 819)
+            return bw if 100e9 < bw < 1.1e12 else None
+        except Exception:
+            return None
+
+    measured_bw = probe_hbm() if not on_cpu else None
 
     @partial(jax.jit,
              static_argnames=("last_only", "attn_window", "prefill_flash"))
@@ -315,24 +322,20 @@ def _run():
                 "anywhere) = wall time of prefill dispatch + first sampled "
                 "token readback, minus one measured host-device RTT",
     }
-    # the probe shares the chip with other tenants' bursts; discard
-    # physically implausible readings (spec is 819 GB/s)
-    if measured_bw is not None and 100e9 < measured_bw < 1.1e12:
-        measured_roofline = measured_bw / bytes_per_token
-        result["measured_hbm_gbps"] = round(measured_bw / 1e9, 1)
-        result["pct_of_measured_roofline"] = round(100 * tok_s / measured_roofline, 1)
+    _pending_guards = []
 
     def guard(tag: str, tok_s_val, bytes_per_step: int, batch: int = 1):
         """tune.py's plausibility rule, applied to the BENCH itself
         (round-3 verdict #2): a section whose implied HBM traffic
         exceeds 1.05x this session's measured bandwidth is flagged —
-        such a number is a timing artifact, not a throughput.
+        such a number is a timing artifact, not a throughput. Flags are
+        resolved at the END of the run against the best of the start/
+        end probes, so one contended probe window can't mark honest
+        sections implausible.
         """
-        if tok_s_val is None or measured_bw is None:
+        if tok_s_val is None:
             return
-        implied = (tok_s_val / batch) * bytes_per_step
-        if implied > 1.05 * measured_bw:
-            result[f"{tag}_implausible"] = round(implied / 1e9, 1)
+        _pending_guards.append((tag, (tok_s_val / batch) * bytes_per_step))
 
     guard("value", tok_s, bytes_per_token)
 
@@ -509,6 +512,22 @@ def _run():
                 result["paged_over_slot_step_ratio"] = round(min(ratios), 3)
         except Exception as e:
             result["paged_batch8_error"] = f"{type(e).__name__}: {e}"[:120]
+    # resolve the plausibility guards against the BEST probe reading
+    if not on_cpu:
+        bw2 = probe_hbm()
+        cands_bw = [b for b in (measured_bw, bw2) if b]
+        best_bw = max(cands_bw) if cands_bw else None
+        if best_bw is not None:
+            result["measured_hbm_gbps"] = round(best_bw / 1e9, 1)
+            if bw2 is not None and measured_bw is not None:
+                result["hbm_probe_spread_gbps"] = [
+                    round(measured_bw / 1e9, 1), round(bw2 / 1e9, 1)]
+            measured_roofline = best_bw / bytes_per_token
+            result["pct_of_measured_roofline"] = round(
+                100 * tok_s / measured_roofline, 1)
+            for tag, implied in _pending_guards:
+                if implied > 1.05 * best_bw:
+                    result[f"{tag}_implausible"] = round(implied / 1e9, 1)
     print(json.dumps(result))
 
 

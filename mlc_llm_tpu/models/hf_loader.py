@@ -44,7 +44,9 @@ def _state_dict_np(hf_model) -> Dict[str, np.ndarray]:
 
 def _maybe_quant(w_kn: np.ndarray, spec: QuantSpec):
     if spec.is_quantized:
-        return quantize(jnp.asarray(w_kn), spec)
+        from ..quant.spec import spec_for_k
+
+        return quantize(jnp.asarray(w_kn), spec_for_k(spec, w_kn.shape[0]))
     return jnp.asarray(w_kn, dtype=jnp.dtype(spec.dtype))
 
 

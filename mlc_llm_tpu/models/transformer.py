@@ -461,7 +461,9 @@ def forward(
 
 def _maybe_quant(w: Array, spec: QuantSpec, key_scale=None):
     if spec.is_quantized:
-        return quantize(w, spec)
+        from ..quant.spec import spec_for_k
+
+        return quantize(w, spec_for_k(spec, w.shape[0]))
     return w.astype(jnp.dtype(spec.dtype))
 
 
@@ -537,7 +539,9 @@ def init_random_params(
         globals_fab = None
 
     def _mk(k, n, sp=None):
-        sp = sp or spec
+        from ..quant.spec import spec_for_k
+
+        sp = spec_for_k(sp or spec, k)
         if globals_fab is not None and sp.is_quantized:
             return globals_fab(k, n, sp)
         w = randw(k, n)

@@ -951,24 +951,26 @@ def _gp_body(xp, w2d, s2d, z2d, acc, *, spec: QuantSpec, Cg: int,
     return acc
 
 
-def _gp_body_hs(xb, w2d, s2d, z2d, acc, *, spec: QuantSpec, Cg: int,
-                cpt: int, M: int, G: int, interpret: bool):
-    """Half-split gp chunk loop (full-k tiles only), WIDTH-32 bands.
+def _gp_body_hs(xb, w2d, halves, acc, *, spec: QuantSpec, Cg: int,
+                cpt: int, M: int, interpret: bool):
+    """Half-split gp chunk loop, WIDTH-32 bands.
 
-    xb: [2, cpt*Cg2*M, 32*Cg2] banded halves (Cg2 = Cg//2; plane 0 =
-    bands of x[:, :K/2], plane 1 = x[:, K/2:]); w2d: [KW, BN]; s2d/z2d:
-    [G, BN] (whole scale array — k_steps is pinned to 1 under hsplit
-    because the element->nibble-slot mapping is global in k).
+    xb: [2, cpt*Cg2*M, 32*Cg2] banded halves for THIS k-tile (Cg2 =
+    Cg//2; plane 0 = bands of x[:, :K/2], plane 1 = x[:, K/2:]);
+    w2d: [BKW, BN]; halves: ((slo, zlo), (shi, zhi)) — each plane's
+    scale/offset block for this tile ([Gt//2, BN]; the two planes read
+    disjoint group ranges, fetched as separate blocks so k-tiling
+    works: lo at row kk*Gt/2, hi at G/2 + kk*Gt/2).
 
     Each band row holds 32 CONSECUTIVE original elements = exactly ONE
     quant group, so scales slice directly per chunk ([Cg2, BN], no row
     expansion). The round-3 width-16 form put HALF a group per row and
     had to 2*M-interleave-repeat every scale row per chunk per plane —
     a Mosaic sublane relayout in the hot loop that measured the hsplit
-    decode 21% slower than the pair layout (tpu_logs/hs_ab2.log). The
-    two planes read disjoint group ranges ([0, G/2) and [G/2, G)).
-    Same dot count as the pair gp body (2 per chunk) on a HALF-height
-    banded lhs."""
+    decode 21% slower than the pair layout (tpu_logs/hs_ab2.log); the
+    width-32 form measured 150.4 vs the pair layout's 138.8 tok/s at
+    7B b1 (tpu_logs/hs_ab_r4.log). Same dot count as the pair gp body
+    (2 per chunk) on a HALF-height banded lhs."""
     dn = (((1,), (0,)), ((), ()))
     Cg2 = Cg // 2
     wpc = 4 * Cg
@@ -977,7 +979,8 @@ def _gp_body_hs(xb, w2d, s2d, z2d, acc, *, spec: QuantSpec, Cg: int,
         wc = w2d[c * wpc:(c + 1) * wpc, :]
         lo8, hi8 = _nibble_planes(wc, interpret)
         for p, plane8 in ((0, lo8), (1, hi8)):
-            g0 = (G // 2) * p + c * Cg2
+            s2d, z2d = halves[p]
+            g0 = c * Cg2
             sc = s2d[g0:g0 + Cg2, :].astype(jnp.float32)
             if M > 1:
                 sc = _row_repeat(sc, M)
@@ -996,23 +999,27 @@ def _gp_body_hs(xb, w2d, s2d, z2d, acc, *, spec: QuantSpec, Cg: int,
     return acc
 
 
-def _band_store_hs(x_ref, xd_ref, *, Cg: int, cpt: int, M: int):
+def _band_store_hs(x_ref, xd_ref, *, Cg: int, cpt: int, M: int,
+                   k_steps: int = 1):
     """Band the raw activation's two contiguous halves into the
-    block-diagonal scratch [2, cpt*Cg2*M, 32*Cg2] (Cg2 = Cg//2; one
-    full quant group per band row). x_ref: [M, K] in the compute
+    block-diagonal scratch [k_steps, 2, cpt*Cg2*M, 32*Cg2] (Cg2 =
+    Cg//2; one full quant group per band row; section kk holds the
+    chunks k-tile kk consumes). x_ref: [M, K] in the compute
     dtype — every slice below is a stride-1 lane slice, so no
     XLA-side deinterleave exists at all (the whole point of hsplit)."""
     Cg2 = Cg // 2
     band = _band_mask(Cg2, 32, xd_ref.dtype)
     cols = 32 * Cg2  # == 16 * Cg
     rpc = Cg2 * M
-    KH = cpt * cols  # == K // 2
-    for c in range(cpt):
-        for p in range(2):
-            xs = x_ref[:, p * KH + c * cols:p * KH + (c + 1) * cols]
-            xd_ref[0, p, c * rpc:(c + 1) * rpc, :] = (
-                band[:, None, :] * xs[None, :, :]
-            ).reshape(rpc, cols)
+    KH = k_steps * cpt * cols  # == K // 2
+    for sec in range(k_steps):
+        for c in range(cpt):
+            g = sec * cpt + c
+            for p in range(2):
+                xs = x_ref[:, p * KH + g * cols:p * KH + (g + 1) * cols]
+                xd_ref[sec, p, c * rpc:(c + 1) * rpc, :] = (
+                    band[:, None, :] * xs[None, :, :]
+                ).reshape(rpc, cols)
 
 
 def _u32_halves_bf16(xu: Array, interpret: bool) -> Array:
@@ -1068,7 +1075,7 @@ def _band_store(xp_ref, xd_ref, *, Cg: int, cpt: int, M: int,
 def _kernel_gp(*refs, spec: QuantSpec, Cg: int, cpt: int, M: int,
                k_steps: int, prebanded: bool, band_scratch: bool,
                raw_x: bool, stacked: bool, out_dtype, interpret: bool,
-               hsplit: bool = False, G: int = 0):
+               hsplit: bool = False):
     """One (n, k) grid step of the group-partial kernel.
 
     stacked=True prepends the scalar-prefetch layer ref, and the
@@ -1076,12 +1083,19 @@ def _kernel_gp(*refs, spec: QuantSpec, Cg: int, cpt: int, M: int,
     straight from the [L, ...] resting buffers via the index maps
     (same trick as _kernel_pairs_stacked: no per-layer weight copy).
     """
+    ns = 4 if hsplit else 2  # hsplit: (slo, zlo, shi, zhi) half-blocks
     if stacked:
-        _l, xp_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *scratch = refs
-        w_in, s_in, z_in = w_ref[0], s_ref[0], z_ref[0]
+        _l, xp_ref, w_ref, *rest = refs
+        srefs, (o_ref, acc_ref, *scratch) = rest[:ns], rest[ns:]
+        w_in = w_ref[0]
+        svals = [r[0] for r in srefs]
     else:
-        xp_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *scratch = refs
-        w_in, s_in, z_in = w_ref[:], s_ref[:], z_ref[:]
+        xp_ref, w_ref, *rest = refs
+        srefs, (o_ref, acc_ref, *scratch) = rest[:ns], rest[ns:]
+        w_in = w_ref[:]
+        svals = [r[:] for r in srefs]
+    if not hsplit:
+        s_in, z_in = svals
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
@@ -1102,7 +1116,8 @@ def _kernel_gp(*refs, spec: QuantSpec, Cg: int, cpt: int, M: int,
         @pl.when((pl.program_id(1) == 0) & (kk == 0))
         def _():
             if hsplit:
-                _band_store_hs(xp_ref, xd_ref, Cg=Cg, cpt=cpt, M=M)
+                _band_store_hs(xp_ref, xd_ref, Cg=Cg, cpt=cpt, M=M,
+                               k_steps=k_steps)
             else:
                 _band_store(xp_ref, xd_ref, Cg=Cg, cpt=cpt, M=M, raw=raw_x,
                             interpret=interpret, k_steps=k_steps)
@@ -1113,9 +1128,10 @@ def _kernel_gp(*refs, spec: QuantSpec, Cg: int, cpt: int, M: int,
         x_in = xp_ref[:]
         banded = prebanded
     if hsplit:
+        halves = ((svals[0], svals[1]), (svals[2], svals[3]))
         acc_ref[:] = _gp_body_hs(
-            x_in, w_in, s_in, z_in, acc_ref[:],
-            spec=spec, Cg=Cg, cpt=cpt, M=M, G=G, interpret=interpret,
+            x_in, w_in, halves, acc_ref[:],
+            spec=spec, Cg=Cg, cpt=cpt, M=M, interpret=interpret,
         )
     else:
         acc_ref[:] = _gp_body(
@@ -1139,7 +1155,8 @@ def _gp_blocks(m: int, kw: int, n: int, layout: str = "pair"):
     tuned = _tuned_table().get(key)
     if tuned is None and layout == "hsplit":
         # untuned hsplit shape: the pair pick is the best prior (same
-        # bytes, same grid) — hsplit is full-k anyway so only bn matters
+        # bytes, same grid, same k-tiling now that hsplit supports
+        # k_steps > 1)
         tuned = _tuned_table().get(f"gp:{m}:{kw}:{n}")
     if tuned:
         return tuned[0], tuned[1]
@@ -1180,11 +1197,10 @@ def _dequant_matmul_gp_2d(
 
     hsplit = spec.layout == "hsplit"
     bkw, bn = _gp_blocks(m, kw, n_stored, layout=spec.layout)
-    if hsplit:
-        # the hsplit element->nibble-slot mapping is global in k, so
-        # the kernel takes full-k tiles only (every tuned 7B pick is
-        # full-k anyway); the payoff is the raw [M, K] activation input
-        # below — zero XLA-side deinterleave
+    if hsplit and ((G // (kw // bkw)) % 2 != 0):
+        # each k-tile must cover a whole, EVEN group count per plane
+        # (the two nibble planes read disjoint halves of the tile's
+        # group range); fall back to full-k when the split is odd
         bkw = kw
     k_steps = kw // bkw
     Gt = G // k_steps
@@ -1213,8 +1229,8 @@ def _dequant_matmul_gp_2d(
         # one group per row, half the band rows of the pair form)
         xp = x
         x_spec = pl.BlockSpec((m, k_stored), am(lambda i, j, kk: (0, 0)))
-        scratch.append(pltpu.VMEM((1, 2, cpt * (Cg // 2) * m, 16 * Cg),
-                                  x.dtype))
+        scratch.append(pltpu.VMEM(
+            (k_steps, 2, cpt * (Cg // 2) * m, 16 * Cg), x.dtype))
     elif raw_x:
         # free bitcast: adjacent bf16 lane pairs -> one u32 word; the
         # kernel's sublane-expanding bitcast recovers the even/odd
@@ -1239,16 +1255,35 @@ def _dequant_matmul_gp_2d(
     else:
         def wb(bs):
             return pl.BlockSpec(bs, lambda i, j, kk: (kk, j))
-    in_specs = [x_spec, wb((bkw, bn)), wb((Gt, bn)), wb((Gt, bn))]
-    out_spec = pl.BlockSpec((m, bn), am(lambda i, j, kk: (0, j)))
-
     if zero is None:
         zero = scale
+    if hsplit:
+        # per-tile scale HALF-blocks: plane 0's groups live at rows
+        # [kk*Gt/2, +Gt/2), plane 1's at [G/2 + kk*Gt/2, +Gt/2) — the
+        # hi offset in block units is k_steps (G/2 = k_steps * Gt/2)
+        gh = Gt // 2
+        if stacked:
+            def sb(off):
+                return pl.BlockSpec(
+                    (1, gh, bn),
+                    lambda i, j, kk, l, _o=off: (l[0], _o + kk, j))
+        else:
+            def sb(off):
+                return pl.BlockSpec(
+                    (gh, bn), lambda i, j, kk, _o=off: (_o + kk, j))
+        in_specs = [x_spec, wb((bkw, bn)),
+                    sb(0), sb(0), sb(k_steps), sb(k_steps)]
+        operands = (xp, data, scale, zero, scale, zero)
+    else:
+        in_specs = [x_spec, wb((bkw, bn)), wb((Gt, bn)), wb((Gt, bn))]
+        operands = (xp, data, scale, zero)
+    out_spec = pl.BlockSpec((m, bn), am(lambda i, j, kk: (0, j)))
+
     kernel = functools.partial(
         _kernel_gp, spec=spec, Cg=Cg, cpt=cpt, M=m, k_steps=k_steps,
         prebanded=prebanded, band_scratch=band_scratch, raw_x=raw_x,
         stacked=stacked, out_dtype=out_dtype, interpret=interpret,
-        hsplit=hsplit, G=Gt,
+        hsplit=hsplit,
     )
     cparams = pltpu.CompilerParams(
         dimension_semantics=(
@@ -1270,7 +1305,7 @@ def _dequant_matmul_gp_2d(
         out = pl.pallas_call(
             kernel, grid_spec=gs, out_shape=out_shape,
             compiler_params=cparams, interpret=interpret,
-        )(layer, xp, data, scale, zero)
+        )(layer, *operands)
     else:
         out = pl.pallas_call(
             kernel,
@@ -1288,7 +1323,7 @@ def _dequant_matmul_gp_2d(
                 transcendentals=0,
             ),
             interpret=interpret,
-        )(xp, data, scale, zero)
+        )(*operands)
     return out[:, :n]
 
 

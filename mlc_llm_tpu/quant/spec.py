@@ -107,10 +107,22 @@ class QuantSpec:
 QUANT_PRESETS = {
     # u32 word packing: the axon TPU runtime has no native u4 dtype
     # support, and packed words are what the Pallas kernels consume.
-    "q4f16": QuantSpec("int4", 32, False, "u32", "float16"),
-    "q4bf16": QuantSpec("int4", 32, False, "u32", "bfloat16"),
-    # half-split packing variants (identical math/bits, kernel-friendly
-    # element order — see QuantSpec.layout)
+    # DEFAULT int4 layout is half-split since round 4 (identical
+    # math/bits/scales to the pair order — only the element->bit-slot
+    # assignment differs): the hsplit kernels take raw activations with
+    # zero XLA-side deinterleave and width-32 bands halve the banded
+    # lhs; measured 150.4 vs 138.8 tok/s decode and 86.3 vs 110.7 ms
+    # ctx-512 prefill at 7B b1 (tpu_logs/hs_ab_r4.log). Loaders
+    # auto-downgrade to "pair" for shapes with an odd group count
+    # (spec_for_k); *_pair presets pin the old order explicitly, and
+    # checkpoints carry their spec so existing artifacts keep working.
+    "q4f16": QuantSpec("int4", 32, False, "u32", "float16",
+                       layout="hsplit"),
+    "q4bf16": QuantSpec("int4", 32, False, "u32", "bfloat16",
+                        layout="hsplit"),
+    "q4f16_pair": QuantSpec("int4", 32, False, "u32", "float16"),
+    "q4bf16_pair": QuantSpec("int4", 32, False, "u32", "bfloat16"),
+    # legacy aliases (hsplit was opt-in during round 3)
     "q4f16_hs": QuantSpec("int4", 32, False, "u32", "float16",
                           layout="hsplit"),
     "q4bf16_hs": QuantSpec("int4", 32, False, "u32", "bfloat16",
@@ -150,3 +162,17 @@ def resolve_spec(spec) -> QuantSpec:
                 f"known: {sorted(QUANT_PRESETS)}"
             ) from None
     raise TypeError(f"cannot resolve quantization spec from {type(spec)}")
+
+
+def spec_for_k(spec: QuantSpec, k: int) -> QuantSpec:
+    """Per-tensor layout resolution: downgrade hsplit to the pair order
+    when the (group-padded) k has an odd group count — hsplit pairs
+    element q with K/2+q inside one byte, which needs two equal
+    group-aligned halves. Loaders call this per weight so one odd shape
+    never blocks a whole model build; quantize() itself still raises on
+    an explicit invalid request."""
+    if spec.layout == "hsplit" and spec.is_quantized:
+        k_pad = -(-k // spec.group_size) * spec.group_size
+        if (k_pad // spec.group_size) % 2 != 0:
+            return dataclasses.replace(spec, layout="pair")
+    return spec

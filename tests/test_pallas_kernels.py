@@ -330,3 +330,44 @@ def test_hsplit_kernels_match_jnp_all_paths():
             np.testing.assert_allclose(
                 np.asarray(y, np.float32), np.asarray(yr, np.float32),
                 atol=1e-2, rtol=1e-2)
+
+
+def test_hsplit_gp_k_steps_matches(tmp_path, monkeypatch):
+    """hsplit gp with k_steps > 1 (round 4: per-tile scale half-blocks
+    + sectioned band scratch) must stay exact — this is the path that
+    lifts w_out under the hsplit layout."""
+    import importlib
+    import json
+
+    import numpy as np
+
+    dm = importlib.import_module("mlc_llm_tpu.ops.pallas.dequant_matmul")
+    from mlc_llm_tpu.quant import dequantize, quantize
+    from mlc_llm_tpu.quant.groupwise import pad_quantized_groups
+
+    k, n = 2048, 256  # kw=256, G=64; bkw=128 -> k_steps=2, Gt=32 (even)
+    rng = np.random.default_rng(11)
+    qt = pad_quantized_groups(quantize(
+        (rng.standard_normal((k, n)) * 0.05).astype(np.float32),
+        "q4bf16_hs"))
+    kw, n_stored = qt.data.shape
+    table = tmp_path / "tuned_blocks.json"
+    table.write_text(json.dumps({
+        f"gph:1:{kw}:{n_stored}": [kw // 2, 128],
+        f"gph:2:{kw}:{n_stored}": [kw // 2, 128],
+    }))
+    monkeypatch.setenv("MLC_TUNED_BLOCKS", str(table))
+    orig = dm._TUNED
+    dm._TUNED = None
+    try:
+        assert dm._gp_blocks(1, kw, n_stored, layout="hsplit") == (kw // 2, 128)
+        ref_w = dequantize(qt, "bfloat16")
+        for m in (1, 2):
+            x = jnp.asarray(rng.standard_normal((m, k)) * 0.1, jnp.bfloat16)
+            yr = jnp.matmul(x, ref_w, preferred_element_type=jnp.float32)
+            y = dm.dequant_matmul(x, qt)
+            np.testing.assert_allclose(
+                np.asarray(y, np.float32), np.asarray(yr, np.float32),
+                atol=1e-2, rtol=1e-2)
+    finally:
+        dm._TUNED = orig
