@@ -111,6 +111,10 @@ def pod_param_shardings(params, mesh: Mesh):
 
 
 def shard_params_pod(params, mesh: Mesh):
+    from .sharding import _repack_hsplit_for_sharding
+
+    if any(mesh.shape[ax] > 1 for ax in mesh.axis_names):
+        params = _repack_hsplit_for_sharding(params)
     return jax.device_put(params, pod_param_shardings(params, mesh))
 
 

@@ -140,7 +140,20 @@ def shard_params(params, mesh: Mesh):
         # Pallas through an explicit shard_map over this mesh.
         set_sharded_params(True)
         set_current_mesh(mesh)
+        params = _repack_hsplit_for_sharding(params)
     return jax.device_put(params, param_shardings(params, mesh))
+
+
+def _repack_hsplit_for_sharding(params):
+    """hsplit's element order is global in k, so row-sharding an hsplit
+    tensor would make every dequantize reshard dequantized weights
+    across devices; repack to the shard-local pair order once at load
+    (exact — same codes/scales, different bit slots)."""
+    from ..quant.groupwise import QuantizedTensor, to_pair_layout
+
+    return jax.tree_util.tree_map(
+        lambda x: to_pair_layout(x) if isinstance(x, QuantizedTensor) else x,
+        params, is_leaf=lambda x: isinstance(x, QuantizedTensor))
 
 
 def cache_shardings(

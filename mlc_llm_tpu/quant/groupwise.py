@@ -307,6 +307,33 @@ def pad_quantized_groups(qt: QuantizedTensor, mult: int = 32) -> QuantizedTensor
     )
 
 
+def to_pair_layout(qt: QuantizedTensor) -> QuantizedTensor:
+    """Repack an hsplit-packed tensor into the pair element order
+    (exact: same codes, same scales — only the element->bit-slot
+    assignment changes). Used before GSPMD sharding: the hsplit mapping
+    is GLOBAL in k (element q pairs with K/2+q), so a row-sharded
+    hsplit tensor's dequantize would permute rows ACROSS shards and
+    GSPMD would insert per-layer weight resharding; the pair order is
+    shard-local under contiguous k splits. Works on flat [KW, N] and
+    layer-stacked [L, KW, N] tensors (sequential per layer — a vmap
+    materializes L full code planes at once)."""
+    spec = qt.spec
+    if spec.layout != "hsplit":
+        return qt
+    import dataclasses as _dc
+
+    pair_spec = _dc.replace(spec, layout="pair")
+
+    def repack(d2):
+        codes = _unpack_words(d2, spec).astype(jnp.uint8)
+        return _pack_words(codes, pair_spec)
+
+    data = (jnp.stack([repack(qt.data[i]) for i in range(qt.data.shape[0])])
+            if qt.data.ndim == 3 else repack(qt.data))
+    return QuantizedTensor(data=data, scale=qt.scale, zero=qt.zero,
+                           spec=pair_spec, shape=qt.shape)
+
+
 def _codes(qt: QuantizedTensor) -> Array:
     """Unpack storage to per-element integer codes [k_stored, n] (int32)."""
     spec = qt.spec

@@ -136,3 +136,24 @@ def test_sharded_decode_places_all_reduces():
     # the layer stack is a scan: its body should carry the two
     # per-layer all-reduces (attention out-proj + MLP down-proj)
     assert n_ar >= 2, f"expected >=2 all-reduce in sharded decode, got {n_ar}"
+
+
+def test_shard_params_repacks_hsplit_to_pair():
+    """hsplit's element order is global in k; shard_params must repack
+    such tensors to the shard-local pair order (exact relayout) so
+    row-sharded dequantize never reshards weights across devices."""
+    import numpy as np
+
+    from mlc_llm_tpu.parallel import make_mesh, shard_params
+    from mlc_llm_tpu.quant import dequantize, quantize
+
+    rng = np.random.default_rng(3)
+    w = (rng.standard_normal((256, 256)) * 0.05).astype(np.float32)
+    qt = quantize(w, "q4bf16_hs")
+    mesh = make_mesh(tp=2)
+    tree = shard_params({"layers/wo": qt}, mesh)
+    out = tree["layers/wo"]
+    assert out.spec.layout == "pair"
+    np.testing.assert_array_equal(
+        np.asarray(dequantize(out, "float32")),
+        np.asarray(dequantize(qt, "float32")))
