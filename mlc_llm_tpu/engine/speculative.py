@@ -16,6 +16,15 @@ tests/test_speculative.py). Repetitive text (code, lists, quoting, RAG)
 accepts long runs; adversarially random text degrades to one token per
 pass — the same cost as plain decode using the same program.
 
+Exactness fine print: "the model's own greedy argmax" means the argmax
+of the VERIFY pass (S=K). The S=1 decode program tiles its kernels
+differently, so its logits can differ from the verify pass's in the
+last bits; on real weights the argmax margins dwarf this, but on
+fabricated random weights (near-zero margins) an argmax TIE can break
+differently between the two programs and the spec stream diverges from
+the S=1 loop's at that tie. scripts/spec_bench.py reports the match as
+a metric instead of asserting it on TPU for this reason.
+
 Mechanics per pass (slot-contiguous cache, batch 1):
   feed X = [t_last, d1 .. d_{K-1}]   (S = K static; pad when fewer)
   logits = forward(X, seq_lens=0, last_only=False)  -> argmax out[0..K-1]

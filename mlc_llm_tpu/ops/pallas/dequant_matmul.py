@@ -880,10 +880,12 @@ def _gp_pick_cg(n_groups_tile: int, m: int) -> Optional[int]:
 
 
 def gp_matmul_supported(spec: QuantSpec, n_groups: int, m: int) -> bool:
-    if spec.layout == "hsplit" and n_groups % 2 != 0:
-        # hsplit splits the group range in half per nibble plane
-        # (quantize() rejects odd-group hsplit tensors outright; this
-        # guard keeps the kernel unreachable for hand-built ones)
+    if spec.layout == "hsplit" and not hs_groups_blockable(n_groups):
+        # hsplit splits the group range in half per nibble plane, and
+        # the per-plane scale blocks [G/2, bn] must satisfy Mosaic's
+        # 8-sublane block rule. Engines group-pad to multiples of 32 so
+        # this never triggers on their path; raw callers fall back to
+        # the jnp dequantize matmul (dispatch below).
         return False
     return (
         spec.mode == "int4"
@@ -892,6 +894,12 @@ def gp_matmul_supported(spec: QuantSpec, n_groups: int, m: int) -> bool:
         and m <= 8
         and _gp_pick_cg(n_groups, m) is not None
     )
+
+
+def hs_groups_blockable(n_groups: int) -> bool:
+    """hsplit kernels fetch per-plane scale HALF-blocks [G/2, bn]; the
+    Mosaic block rule needs the sublane dim divisible by 8 (or full)."""
+    return n_groups % 2 == 0 and (n_groups // 2) % 8 == 0
 
 
 def _band_mask(Cg: int, width: int, dtype):
@@ -1496,6 +1504,16 @@ def dequant_matmul_stacked(
             spec=w.spec, shape=w.shape, out_dtype=out_dtype,
             interpret=interpret, stacked=True,
         )
+    elif (w.spec.layout == "hsplit"
+          and not hs_groups_blockable(w.scale.shape[1])):
+        from ...quant.groupwise import dequantize
+
+        qt_l = QuantizedTensor(
+            data=w.data[lidx[0]], scale=w.scale[lidx[0]],
+            zero=None if w.zero is None else w.zero[lidx[0]],
+            spec=w.spec, shape=w.shape)
+        y = jnp.matmul(x2, dequantize(qt_l, x2.dtype),
+                       preferred_element_type=jnp.float32).astype(out_dtype)
     elif w.spec.mode == "int4" and w.spec.storage == "u32":
         y = _dequant_matmul_stacked_2d(
             x2, lidx, w.data, w.scale, w.zero,
@@ -1532,6 +1550,14 @@ def dequant_matmul(x: Array, w: QuantizedTensor, out_dtype=None) -> Array:
             spec=w.spec, shape=w.shape, out_dtype=out_dtype,
             interpret=interpret, stacked=False,
         )
+    elif (w.spec.layout == "hsplit"
+          and not hs_groups_blockable(w.scale.shape[0])):
+        # unpadded hsplit group count the kernels can't block: exact
+        # jnp fallback (engines pad to 32 groups and never land here)
+        from ...quant.groupwise import dequantize
+
+        y = jnp.matmul(x2, dequantize(w, x2.dtype),
+                       preferred_element_type=jnp.float32).astype(out_dtype)
     else:
         y = _dequant_matmul_2d(
             x2, w.data, w.scale, w.zero,

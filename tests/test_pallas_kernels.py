@@ -371,3 +371,38 @@ def test_hsplit_gp_k_steps_matches(tmp_path, monkeypatch):
                 atol=1e-2, rtol=1e-2)
     finally:
         dm._TUNED = orig
+
+
+def test_hsplit_unpadded_group_count_falls_back():
+    """hsplit with a group count whose half is not 8-divisible (e.g.
+    K=11008 -> 344 groups, the raw 7B w_out) cannot satisfy Mosaic's
+    scale-block rule; the dispatch must route to the exact jnp fallback
+    instead of crashing in lowering (round-4 on-chip regression)."""
+    import numpy as np
+
+    from mlc_llm_tpu.ops.pallas.dequant_matmul import (
+        dequant_matmul,
+        dequant_matmul_stacked,
+        hs_groups_blockable,
+    )
+    from mlc_llm_tpu.quant import dequantize, quantize
+
+    assert not hs_groups_blockable(344)
+    assert hs_groups_blockable(352)
+    rng = np.random.default_rng(9)
+    k, n = 344 * 32 // 8, 256  # 43 groups (odd) -> quantize rejects;
+    # use 44 groups: half = 22, not 8-divisible -> kernel unblockable
+    k = 44 * 32
+    qt = quantize((rng.standard_normal((k, n)) * 0.05).astype(np.float32),
+                  "q4bf16_hs")  # NO pad_quantized_groups on purpose
+    ref = dequantize(qt, "bfloat16")
+    qts = jax.tree_util.tree_map(lambda a: jnp.stack([a, a], 0),
+                                 qt, is_leaf=lambda a: hasattr(a, "dtype"))
+    for m in (1, 16):
+        x = jnp.asarray(rng.standard_normal((m, k)) * 0.1, jnp.bfloat16)
+        yr = jnp.matmul(x, ref, preferred_element_type=jnp.float32)
+        for y in (dequant_matmul(x, qt),
+                  dequant_matmul_stacked(x, qts, jnp.int32(1))):
+            np.testing.assert_allclose(
+                np.asarray(y, np.float32), np.asarray(yr, np.float32),
+                atol=1e-2, rtol=1e-2)
