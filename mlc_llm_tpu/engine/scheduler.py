@@ -73,7 +73,8 @@ class ContinuousBatchingScheduler:
     def __init__(self, engine: InferenceEngine, seed: int = 0, slots=None,
                  prefill_chunk: Optional[int] = None,
                  speculative_k: Optional[int] = None,
-                 speculative_max_batch: int = 2):
+                 speculative_max_batch: int = 2,
+                 decode_ahead: int = 1):
         """slots: engine slots this scheduler owns (default: all).
         Multi-host serving gives each host's scheduler its
         process_local_slots range (parallel/multihost.py) so request
@@ -96,6 +97,17 @@ class ContinuousBatchingScheduler:
         EXACTLY equal to plain greedy decode; steps that do not meet
         the gate run the plain pipelined path.
 
+        decode_ahead: decode dispatch-ahead depth — how many decode
+        steps stay in flight before the scheduler blocks on the oldest
+        readback. Depth 1 (default) reads back step i-1 while step i
+        computes; on a high-RTT link (the tunneled chip: ~32 ms RTT vs
+        a 6.5 ms device step) a deeper pipeline amortizes the RTT over
+        D steps and the loop approaches the device-step floor. Cost:
+        stop detection lags D tokens (the (slot, request-id) matching
+        in _drain discards post-stop and post-recycle tokens, so
+        correctness is unchanged — only up to D wasted slot-steps per
+        finished request).
+
         speculative_max_batch: speculation only engages when at most
         this many slots are active. Measured on-chip (v5e, 7B q4bf16,
         scripts/spec_bench.py r3): 1.55x at batch 1 but 0.81x at batch
@@ -114,6 +126,7 @@ class ContinuousBatchingScheduler:
         self.prefill_chunk = prefill_chunk
         self.speculative_k = speculative_k
         self.speculative_max_batch = speculative_max_batch
+        self.decode_ahead = max(1, int(decode_ahead))
 
         @partial(jax.jit, donate_argnames=("cache",))
         def _advance_lengths(cache, adv):
@@ -628,7 +641,7 @@ class ContinuousBatchingScheduler:
         matched by (slot, request-id) so a slot recycled mid-lag never
         delivers a stale token to its new occupant."""
         while self._pending_tokens and (
-            all_remaining or len(self._pending_tokens) > 1
+            all_remaining or len(self._pending_tokens) > self.decode_ahead
         ):
             toks = np.asarray(self._pending_tokens.popleft())
             owners = self._pending_slots.popleft()
