@@ -78,6 +78,7 @@ def run_server(args) -> None:
         prefill_chunk=args.prefill_chunk,
         speculative_k=args.speculative,
         speculative_max_batch=args.speculative_max_batch,
+        decode_ahead=args.decode_ahead,
     )
     server = SchedulerServer(sched, host=args.host, port=args.port)
     server.start()
@@ -143,6 +144,10 @@ def main(argv=None):
                          "verify blocks on all-greedy transient batches "
                          "(exact greedy output, up to K tokens per slot "
                          "per pass)")
+    ap.add_argument("--decode-ahead", type=int, default=1,
+                    help="decode steps kept in flight before blocking on "
+                         "the oldest token readback (amortizes host-device "
+                         "RTT; stop detection lags this many tokens)")
     ap.add_argument("--speculative-max-batch", type=int, default=2,
                     help="speculation engages only when at most this "
                          "many slots are active (measured: 1.55x at "

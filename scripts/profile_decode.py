@@ -28,13 +28,18 @@ from mlc_llm_tpu.quant.groupwise import QuantizedTensor, pad_quantized_groups
 BATCH = int(os.environ.get("PROF_BATCH", "1"))
 # default cache length fits b8 in the 16 GB HBM next to 4.3 GB weights
 MAXLEN = int(os.environ.get("PROF_MAXLEN", "2048" if BATCH == 1 else "512"))
+QUANT = os.environ.get("PROF_QUANT", "q4bf16")
+KVDTYPE = os.environ.get("PROF_KV", "")  # e.g. int8
 
 cfg = get_config("vicuna-v1-7b")
-params = init_random_params(cfg, "q4bf16", seed=0, fabricate=True)
+params = init_random_params(cfg, QUANT, seed=0, fabricate=True)
 params = jax.tree.map(
     lambda x: pad_quantized_groups(x) if isinstance(x, QuantizedTensor) else x,
     params, is_leaf=lambda x: isinstance(x, QuantizedTensor))
-cache = init_kv_cache(cfg, batch=BATCH, max_len=MAXLEN)
+import jax.numpy as _jnp
+
+cache = init_kv_cache(cfg, batch=BATCH, max_len=MAXLEN,
+                      **({"dtype": _jnp.int8} if KVDTYPE == "int8" else {}))
 
 
 @partial(jax.jit, donate_argnames=("cache",), static_argnames=("window",))
