@@ -266,7 +266,11 @@ def tune_shapes(shapes, quant="q4bf16", ms=(1,), verbose=True,
                 mcands = [(bkw_, bn) for bkw_ in bkws
                           for bn in (1024, 512, 384, 256)
                           if n_stored % bn == 0]
-                key = f"gp:{m}:{kw}:{n_stored}"
+                # hsplit shapes tune under their own key namespace so a
+                # sweep never overwrites pair-layout picks (the runtime
+                # reads gph: first and falls back to gp:)
+                pref = "gph" if spec.layout == "hsplit" else "gp"
+                key = f"{pref}:{m}:{kw}:{n_stored}"
             elif gp3_matmul_supported(spec, qt.scale.shape[0], m):
                 # gp3 (int3/u16): bn-only sweep under its own key (the
                 # runtime reads 'gp3:...'; plain keys would be dead).

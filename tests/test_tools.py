@@ -269,7 +269,9 @@ def test_tune_stacked_protocol_and_cands_override():
     )
     assert table, "stacked sweep produced no entries"
     (key, entry), = table.items()
-    assert key.startswith("gp:1:"), key
+    # q4bf16 defaults to the hsplit layout since round 4, which tunes
+    # under its own key namespace (never overwrites pair picks)
+    assert key.startswith("gph:1:"), key
     assert entry["stacked"] is True
     assert tuple(entry["blocks"]) in {(64, 256), (32, 256)}
     # runner_up must also come from the override list (nothing else ran)
