@@ -58,7 +58,8 @@ def hbm_probe() -> float:
     t2, t10 = reduce_n(2), reduce_n(10)
     bw = 8 * buf.nbytes / max(t10 - t2, 1e-6)
     del buf, s
-    return bw
+    # timing collapse under load produces absurd readings; report None
+    return bw if 100e9 < bw < 1.1e12 else None
 
 
 @functools.partial(jax.jit,
@@ -199,8 +200,9 @@ def main():
         shapes = model_shapes(cfg)
     rng = np.random.default_rng(0)
 
-    print(json.dumps({"hbm_probe_start_gbps": round(hbm_probe() / 1e9, 1)}),
-          flush=True)
+    bw0 = hbm_probe()
+    print(json.dumps({"hbm_probe_start_gbps":
+                      round(bw0 / 1e9, 1) if bw0 else None}), flush=True)
 
     summary = {}
     for k, n in shapes:
@@ -302,8 +304,9 @@ def main():
                          "gp_vs_ceiling": round(g_gp / g_ceil, 3)}
                 summary[shape_key].setdefault("runs", []).append(entry)
 
-    print(json.dumps({"hbm_probe_end_gbps": round(hbm_probe() / 1e9, 1)}),
-          flush=True)
+    bw1 = hbm_probe()
+    print(json.dumps({"hbm_probe_end_gbps":
+                      round(bw1 / 1e9, 1) if bw1 else None}), flush=True)
     print(json.dumps({"ceiling_summary": summary}), flush=True)
 
 
