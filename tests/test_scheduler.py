@@ -566,3 +566,29 @@ def test_scheduler_speculative_batch_gate():
     assert not gated_passes
     assert open_passes
     assert gated_out == open_out           # streams identical either way
+
+
+def test_decode_ahead_outputs_identical():
+    """decode_ahead > 1 only deepens the dispatch pipeline: token
+    streams, stop behavior, and slot recycling must be identical to the
+    depth-1 scheduler (greedy, so exact comparison)."""
+    from mlc_llm_tpu.engine import GenerationConfig, InferenceEngine
+    from mlc_llm_tpu.engine.scheduler import ContinuousBatchingScheduler
+    from mlc_llm_tpu.models import get_config, init_random_params
+
+    cfg = get_config("tiny-llama")
+    params = init_random_params(cfg, "f32", seed=0)
+    prompts = [[3, 4, 5], [6, 7], [8, 9, 10, 11], [12], [13, 14]]
+    gen = GenerationConfig(max_new_tokens=7, temperature=0.0)
+
+    def run(ahead):
+        eng = InferenceEngine(cfg, params, max_batch=2, max_seq_len=64)
+        s = ContinuousBatchingScheduler(eng, decode_ahead=ahead)
+        reqs = [s.submit(p, gen) for p in prompts]
+        s.run()
+        assert all(r.done for r in reqs)
+        return [r.output for r in reqs]
+
+    base = run(1)
+    for ahead in (3, 6):
+        assert run(ahead) == base
