@@ -106,6 +106,11 @@ def _pick_blocks(m: int, kw: int, n: int, words_per_group: int, epw: int = 8):
         f"{m}:{kw}:{n}"
     )
     if tuned:
+        if len(tuned) == 3:
+            # prefill-class entries may tune bm as well: a bigger m-tile
+            # dequantizes each weight block FEWER times (the pairs
+            # kernels re-dequantize per m-tile)
+            return tuned[0], tuned[1], tuned[2]
         return bm, tuned[0], tuned[1]
     bkw = None
     for c in (2048, 1024, 512, 384, 256, 128):
