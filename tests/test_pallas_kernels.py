@@ -406,3 +406,29 @@ def test_hsplit_unpadded_group_count_falls_back():
             np.testing.assert_allclose(
                 np.asarray(y, np.float32), np.asarray(yr, np.float32),
                 atol=1e-2, rtol=1e-2)
+
+
+def test_hsplit_f16_compute_matches_jnp():
+    """q4f16 (float16 compute) also defaults to the hsplit layout; the
+    gp raw-activation path must stay exact without the bf16-only
+    raw_x bitcast (hsplit takes the raw [M, K] activation in ANY
+    compute dtype)."""
+    import numpy as np
+
+    from mlc_llm_tpu.ops.pallas.dequant_matmul import dequant_matmul
+    from mlc_llm_tpu.quant import dequantize, quantize, resolve_spec
+    from mlc_llm_tpu.quant.groupwise import pad_quantized_groups
+
+    assert resolve_spec("q4f16").layout == "hsplit"
+    rng = np.random.default_rng(2)
+    qt = pad_quantized_groups(quantize(
+        (rng.standard_normal((512, 384)) * 0.05).astype(np.float32),
+        "q4f16"))
+    ref = dequantize(qt, "float16")
+    for m in (1, 2, 16):
+        x = jnp.asarray(rng.standard_normal((m, 512)) * 0.1, jnp.float16)
+        yr = jnp.matmul(x, ref, preferred_element_type=jnp.float32)
+        y = dequant_matmul(x, qt)
+        np.testing.assert_allclose(
+            np.asarray(y, np.float32), np.asarray(yr, np.float32),
+            atol=1e-2, rtol=1e-2)
