@@ -179,6 +179,48 @@ class InferenceEngine:
             nxt = jnp.where(active, nxt, tokens[:, 0])
             return nxt, cache
 
+        @partial(
+            jax.jit,
+            donate_argnames=("cache",),
+            static_argnames=("attn_window", "top_k", "k_steps"),
+        )
+        def _decode_sample_k(
+            params, tokens, cache, seeds, steps, temperature, top_p, active,
+            attn_window=None, top_k=64, k_steps=4,
+        ):
+            """k_steps decode steps in ONE device dispatch (the
+            multi-step serving block): the host reads back a [K, B]
+            token matrix instead of K separate [B] vectors, so the
+            per-step host round trip amortizes over K. Stop detection
+            happens at drain time — tokens computed past a stop are
+            discarded host-side (the slot's junk KV rows sit past its
+            valid length and are rewritten before ever being attended,
+            the engine's standing invariant). PRNG streams are
+            fold_in(seed, steps + i): identical to K single steps.
+            """
+            out0 = jnp.zeros((k_steps, tokens.shape[0]), jnp.int32)
+            seq_lens = active.astype(jnp.int32)
+
+            def body(i, carry):
+                tok, cache, out = carry
+                logits, cache = forward(
+                    params, cfg_static, tok, cache, seq_lens=seq_lens,
+                    last_only=True, attn_window=attn_window,
+                )
+                keys = jax.vmap(
+                    lambda s, c: jax.random.fold_in(jax.random.PRNGKey(s), c)
+                )(seeds, steps + i)
+                nxt = sample_token_perslot(
+                    logits, keys, temperature, top_p, top_k=top_k)
+                nxt = jnp.where(active, nxt, tok[:, 0])
+                out = jax.lax.dynamic_update_slice_in_dim(
+                    out, nxt[None, :], i, axis=0)
+                return (nxt[:, None], cache, out)
+
+            _, cache, out = jax.lax.fori_loop(
+                0, k_steps, body, (tokens, cache, out0))
+            return out, cache
+
         def _slice_slot(arr, slot):
             return None if arr is None else jax.lax.dynamic_slice_in_dim(
                 arr, slot, 1, axis=1
@@ -308,6 +350,7 @@ class InferenceEngine:
             _prefill_slot_paged if kv_layout == "paged" else _prefill_slot
         )
         self._decode_sample = _decode_sample
+        self._decode_sample_k = _decode_sample_k
         self._reset_lengths = _reset_lengths
         self._sample_logits = jax.jit(
             lambda logits, key, t, p, top_k=64: sample_token(

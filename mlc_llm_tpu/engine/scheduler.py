@@ -74,7 +74,8 @@ class ContinuousBatchingScheduler:
                  prefill_chunk: Optional[int] = None,
                  speculative_k: Optional[int] = None,
                  speculative_max_batch: int = 2,
-                 decode_ahead: int = 1):
+                 decode_ahead: int = 1,
+                 multi_step: Optional[int] = None):
         """slots: engine slots this scheduler owns (default: all).
         Multi-host serving gives each host's scheduler its
         process_local_slots range (parallel/multihost.py) so request
@@ -96,6 +97,23 @@ class ContinuousBatchingScheduler:
         the same weight traffic as a plain step. Token streams stay
         EXACTLY equal to plain greedy decode; steps that do not meet
         the gate run the plain pipelined path.
+
+        multi_step: run K decode steps per device dispatch (the
+        on-device multi-step serving block, engine._decode_sample_k):
+        the host reads one [K, B] token matrix per dispatch instead of
+        K vectors, so per-token host cost amortizes K-fold — on a
+        high-RTT link this takes the serving loop from the transport
+        floor toward the device-step floor. Semantics: stop detection
+        and max_new_tokens lag up to K-1 tokens inside a block (the
+        drain discards post-stop tokens; KV rows past a request's
+        valid length are junk-but-rewritten, the engine invariant), and
+        admission happens between blocks, so TTFT quantizes to the
+        block wall. Engages only for transient batches (no pinned /
+        append / reserved slots — same class of gate as speculation)
+        and only while every active slot has K rows of window headroom;
+        other steps run the plain single-step path. Token streams are
+        EXACTLY those of the single-step scheduler (PRNG fold_in(seed,
+        step) is position-indexed; tests pin equality).
 
         decode_ahead: decode dispatch-ahead depth — how many decode
         steps stay in flight before the scheduler blocks on the oldest
@@ -127,6 +145,7 @@ class ContinuousBatchingScheduler:
         self.speculative_k = speculative_k
         self.speculative_max_batch = speculative_max_batch
         self.decode_ahead = max(1, int(decode_ahead))
+        self.multi_step = int(multi_step) if multi_step else None
 
         @partial(jax.jit, donate_argnames=("cache",))
         def _advance_lengths(cache, adv):
@@ -509,7 +528,24 @@ class ContinuousBatchingScheduler:
                 cur[slot, 0] = req.output[-1]
         self._cur_tokens = jnp.asarray(cur)
 
-    def _decode_dispatch(self) -> None:
+    def _multi_step_ready(self) -> bool:
+        K = self.multi_step
+        if not K or K <= 1 or not self.active:
+            return False
+        if self._reserved or self._prefilling:
+            return False
+        # device lengths run ahead of host counters by the in-flight
+        # blocks; every active slot needs headroom for all of them
+        ahead_rows = (len(self._pending_tokens) + 1) * K
+        for req in self.active.values():
+            if req.pin_slot is not None or req.append:
+                return False
+            cur = req.start_len + len(req.prompt) + len(req.output)
+            if cur + ahead_rows >= self.engine.max_seq_len - 1:
+                return False
+        return True
+
+    def _decode_dispatch(self, k_steps: Optional[int] = None) -> None:
         eng = self.engine
         B = eng.max_batch
         active = np.zeros((B,), bool)
@@ -536,18 +572,37 @@ class ContinuousBatchingScheduler:
              for r in self.active.values()),
             default=2,
         )
-        nxt, eng.cache = eng._decode_sample(
-            eng.params,
-            self._cur_tokens,
-            eng.cache,
-            jnp.asarray(seeds),
-            jnp.asarray(steps),
-            jnp.asarray(temp),
-            jnp.asarray(topp),
-            jnp.asarray(active),
-            attn_window=eng.decode_window(max_len),
-            top_k=top_k,
-        )
+        if k_steps:
+            nxt, eng.cache = eng._decode_sample_k(
+                eng.params,
+                self._cur_tokens,
+                eng.cache,
+                jnp.asarray(seeds),
+                jnp.asarray(steps),
+                jnp.asarray(temp),
+                jnp.asarray(topp),
+                jnp.asarray(active),
+                attn_window=eng.decode_window(max_len + k_steps),
+                top_k=top_k,
+                k_steps=k_steps,
+            )  # nxt: [K, B]
+            for req in self.active.values():
+                req.sampled += k_steps - 1  # the +1 already happened above
+            last = nxt[-1]
+        else:
+            nxt, eng.cache = eng._decode_sample(
+                eng.params,
+                self._cur_tokens,
+                eng.cache,
+                jnp.asarray(seeds),
+                jnp.asarray(steps),
+                jnp.asarray(temp),
+                jnp.asarray(topp),
+                jnp.asarray(active),
+                attn_window=eng.decode_window(max_len),
+                top_k=top_k,
+            )
+            last = nxt
         # start the device->host token copy NOW: np.asarray at drain
         # time would otherwise issue the transfer synchronously and pay
         # a full RTT per step even with a deep dispatch-ahead pipeline
@@ -557,7 +612,7 @@ class ContinuousBatchingScheduler:
             pass
         self._pending_tokens.append(nxt)
         self._pending_slots.append(owners)
-        self._cur_tokens = nxt[:, None]
+        self._cur_tokens = last[:, None]
 
     def step(self) -> None:
         """One scheduler iteration: admit, advance chunked prefills by
@@ -580,10 +635,11 @@ class ContinuousBatchingScheduler:
                 self._decode_dispatch_speculative()
             self.engine.stats.decode_time += time.perf_counter() - t0
             return
-        self._decode_dispatch()
+        ms = self.multi_step if self._multi_step_ready() else None
+        self._decode_dispatch(k_steps=ms)
         self._drain()
         self.engine.stats.decode_time += time.perf_counter() - t0
-        self.engine.stats.decode_tokens += len(self.active)
+        self.engine.stats.decode_tokens += len(self.active) * (ms or 1)
 
     # ------------------------------------------------------- token plumbing
     def _sync_first_tokens(self) -> None:
@@ -652,8 +708,10 @@ class ContinuousBatchingScheduler:
         ):
             toks = np.asarray(self._pending_tokens.popleft())
             owners = self._pending_slots.popleft()
-            for slot, req_id in owners:
-                req = self.active.get(slot)
-                if req is None or req.done or req.id != req_id:
-                    continue
-                self._emit(req, int(toks[slot]))
+            rows = toks[None, :] if toks.ndim == 1 else toks  # [K, B]
+            for row in rows:
+                for slot, req_id in owners:
+                    req = self.active.get(slot)
+                    if req is None or req.done or req.id != req_id:
+                        continue  # post-stop / post-recycle rows discard
+                    self._emit(req, int(row[slot]))

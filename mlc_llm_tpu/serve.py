@@ -79,6 +79,7 @@ def run_server(args) -> None:
         speculative_k=args.speculative,
         speculative_max_batch=args.speculative_max_batch,
         decode_ahead=args.decode_ahead,
+        multi_step=args.multi_step,
     )
     server = SchedulerServer(sched, host=args.host, port=args.port)
     server.start()
@@ -144,6 +145,10 @@ def main(argv=None):
                          "verify blocks on all-greedy transient batches "
                          "(exact greedy output, up to K tokens per slot "
                          "per pass)")
+    ap.add_argument("--multi-step", type=int, default=None, metavar="K",
+                    help="run K decode steps per device dispatch (host "
+                         "reads a [K, B] token block; stop detection lags "
+                         "up to K-1 tokens inside a block)")
     ap.add_argument("--decode-ahead", type=int, default=1,
                     help="decode steps kept in flight before blocking on "
                          "the oldest token readback (amortizes host-device "

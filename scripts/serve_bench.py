@@ -45,6 +45,8 @@ def main():
                     help="requests per load point")
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--new-tokens", type=int, default=48)
+    ap.add_argument("--multi-step", type=int, default=None,
+                    help="K decode steps per device dispatch")
     ap.add_argument("--ahead", type=int, default=1,
                     help="decode dispatch-ahead depth (scheduler "
                          "decode_ahead); >1 amortizes tunnel RTT")
@@ -71,7 +73,8 @@ def main():
     params = init_random_params(cfg, args.quant, seed=0, fabricate=True)
     eng = InferenceEngine(cfg, params, max_batch=8,
                           max_seq_len=min(cfg.max_seq_len, 512))
-    sched = ContinuousBatchingScheduler(eng, decode_ahead=args.ahead)
+    sched = ContinuousBatchingScheduler(eng, decode_ahead=args.ahead,
+                                        multi_step=args.multi_step)
 
     rng = np.random.default_rng(0)
     gen = GenerationConfig(max_new_tokens=args.new_tokens, temperature=0.7,
@@ -144,6 +147,7 @@ def main():
         "metric": "serve_latency_vicuna7b_q4bf16_b8",
         "backend": jax.default_backend(),
         "decode_ahead": args.ahead,
+        "multi_step": args.multi_step,
         "rtt_ms": round(rtt_ms, 1),
         "prompt_len": args.prompt_len,
         "max_new_tokens": args.new_tokens,
