@@ -369,9 +369,11 @@ class InferenceEngine:
             static_argnames=("top_k",),
         )
 
-    def precompile(self, *, progress: Optional[Callable[[str], None]] = None) -> int:
+    def precompile(self, *, progress: Optional[Callable[[str], None]] = None,
+                   multi_step: Optional[int] = None) -> int:
         """AOT-compile every engine program (all prefill buckets, the
-        admission slot-prefill, and every decode-window bucket).
+        admission slot-prefill, and every decode-window bucket; pass
+        multi_step=K to also warm the K-step serving blocks).
 
         The reference ships compilation as a build artifact (the .so
         emitted at /root/reference/build.py:160-166); our analog is the
@@ -436,6 +438,18 @@ class InferenceEngine:
                     jax.ShapeDtypeStruct(tshape, jnp.float32),
                     jax.ShapeDtypeStruct((B,), jnp.bool_),
                     attn_window=w,
+                ).compile()
+                n += 1
+            if multi_step:
+                note(f"multi-step decode window {w} (K={multi_step})")
+                self._decode_sample_k.lower(
+                    params_a, jax.ShapeDtypeStruct((B, 1), i32), cache_a,
+                    jax.ShapeDtypeStruct((B,), jnp.uint32),
+                    jax.ShapeDtypeStruct((B,), i32),
+                    jax.ShapeDtypeStruct((B,), jnp.float32),
+                    jax.ShapeDtypeStruct((B,), jnp.float32),
+                    jax.ShapeDtypeStruct((B,), jnp.bool_),
+                    attn_window=w, k_steps=multi_step,
                 ).compile()
                 n += 1
         return n

@@ -69,7 +69,8 @@ def run_server(args) -> None:
     if args.precompile:
         t0 = time.time()
         n = engine.precompile(
-            progress=lambda m: print(f"precompile: {m}", flush=True)
+            progress=lambda m: print(f"precompile: {m}", flush=True),
+            multi_step=args.multi_step,
         )
         print(f"precompiled {n} programs in {time.time() - t0:.1f}s",
               flush=True)
