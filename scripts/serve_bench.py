@@ -129,6 +129,14 @@ def main():
         itls = []
         for ts in token_times.values():
             itls.extend((b - a) * 1e3 for a, b in zip(ts, ts[1:]))
+        # under multi-step blocks tokens arrive in K-bursts and the raw
+        # drain-timestamp ITL reads 0 inside a burst; the per-request
+        # AVERAGE inter-token latency is the burst-independent measure
+        avg_itls = [
+            (r.finished_at - r.first_token_at) / (len(r.output) - 1) * 1e3
+            for r in reqs
+            if r.finished_at and r.first_token_at and len(r.output) > 1
+        ]
         total_tokens = sum(len(r.output) for r in reqs)
         points.append({
             "offered_rps": lam,
@@ -138,6 +146,8 @@ def main():
             "p99_ttft_ms": round(pct(ttfts, 99), 1) if ttfts else None,
             "p50_itl_ms": round(pct(itls, 50), 1) if itls else None,
             "p99_itl_ms": round(pct(itls, 99), 1) if itls else None,
+            "p50_avg_itl_ms": (round(pct(avg_itls, 50), 1)
+                               if avg_itls else None),
             "throughput_tok_s": round(total_tokens / t_wall, 1),
             "wall_s": round(t_wall, 1),
         })
