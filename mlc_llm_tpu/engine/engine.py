@@ -441,17 +441,22 @@ class InferenceEngine:
                 ).compile()
                 n += 1
             if multi_step:
-                note(f"multi-step decode window {w} (K={multi_step})")
-                self._decode_sample_k.lower(
-                    params_a, jax.ShapeDtypeStruct((B, 1), i32), cache_a,
-                    jax.ShapeDtypeStruct((B,), jnp.uint32),
-                    jax.ShapeDtypeStruct((B,), i32),
-                    jax.ShapeDtypeStruct((B,), jnp.float32),
-                    jax.ShapeDtypeStruct((B,), jnp.float32),
-                    jax.ShapeDtypeStruct((B,), jnp.bool_),
-                    attn_window=w, k_steps=multi_step,
-                ).compile()
-                n += 1
+                # int = one static K; a sequence warms several (the
+                # adaptive scheduler uses power-of-two K <= its max)
+                ks = ((multi_step,) if isinstance(multi_step, int)
+                      else tuple(multi_step))
+                for kk in ks:
+                    note(f"multi-step decode window {w} (K={kk})")
+                    self._decode_sample_k.lower(
+                        params_a, jax.ShapeDtypeStruct((B, 1), i32), cache_a,
+                        jax.ShapeDtypeStruct((B,), jnp.uint32),
+                        jax.ShapeDtypeStruct((B,), i32),
+                        jax.ShapeDtypeStruct((B,), jnp.float32),
+                        jax.ShapeDtypeStruct((B,), jnp.float32),
+                        jax.ShapeDtypeStruct((B,), jnp.bool_),
+                        attn_window=w, k_steps=kk,
+                    ).compile()
+                    n += 1
         return n
 
     def decode_window(self, max_len_next: int) -> int:

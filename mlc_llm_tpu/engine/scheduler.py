@@ -145,13 +145,35 @@ class ContinuousBatchingScheduler:
         self.speculative_k = speculative_k
         self.speculative_max_batch = speculative_max_batch
         self.decode_ahead = max(1, int(decode_ahead))
-        self.multi_step = int(multi_step) if multi_step else None
+        # multi_step: int = static K; "auto" / "auto:K" = adaptive block
+        # size (occupancy/backlog-driven, see _choose_k; default max 8)
+        self.adaptive_multi_step = False
+        if isinstance(multi_step, str):
+            self.adaptive_multi_step = True
+            self.multi_step = (
+                int(multi_step.split(":", 1)[1]) if ":" in multi_step else 8
+            )
+        else:
+            self.multi_step = int(multi_step) if multi_step else None
 
         @partial(jax.jit, donate_argnames=("cache",))
         def _advance_lengths(cache, adv):
             return dataclasses.replace(cache, lengths=cache.lengths + adv)
 
         self._advance_lengths = _advance_lengths
+
+        @jax.jit
+        def _merge_first_token(cur, slot, tok):
+            # device-side scatter of an admission's first sampled token
+            # into the current-token vector: the old host-side merge
+            # (np.asarray on BOTH the freshest decode block and the
+            # prefill logits) drained the whole dispatch pipeline on
+            # every admission — one full RTT + prefill stall per request
+            return jax.lax.dynamic_update_slice(
+                cur, tok.reshape(1, 1).astype(cur.dtype), (slot, 0)
+            )
+
+        self._merge_first_token = _merge_first_token
         self.pending: Deque[Request] = deque()
         self.active: Dict[int, Request] = {}  # slot -> request
         self._prefilling: Dict[int, Request] = {}  # slot -> mid-chunk req
@@ -528,8 +550,37 @@ class ContinuousBatchingScheduler:
                 cur[slot, 0] = req.output[-1]
         self._cur_tokens = jnp.asarray(cur)
 
-    def _multi_step_ready(self) -> bool:
+    def _choose_k(self) -> Optional[int]:
+        """Adaptive multi-step block size (round-4 verdict item 4).
+
+        Static multi_step trades low-load TTFT for saturated throughput
+        (p50 TTFT 199.5 ms at 2 rps with K=8 vs 68.6 ms single-step,
+        docs/PERF.md round 4) and made the operator pick the mode by
+        hand. The scheduler already holds the signals: after _admit, a
+        non-empty pending queue means every slot is busy or page-starved
+        (true saturation) -> full K; otherwise K scales with slot
+        occupancy, dropping to single-step below 3/4 occupancy so a
+        sparse batch never quantizes TTFT to a K-step block wall.
+        K values are rounded down to powers of two — each distinct K is
+        its own compiled program (precompile warms {2,4,...,K})."""
         K = self.multi_step
+        if not K:
+            return None
+        if not self.adaptive_multi_step:
+            return K
+        n, S = len(self.active), len(self.slots)
+        if self.pending:
+            return K
+        if 4 * n >= 3 * S:
+            k = (K * n) // S
+            p = 1
+            while p * 2 <= k:
+                p *= 2
+            return p if p > 1 else None
+        return None
+
+    def _multi_step_ready(self, K: Optional[int] = None) -> bool:
+        K = K or self.multi_step
         if not K or K <= 1 or not self.active:
             return False
         if self._reserved or self._prefilling:
@@ -635,7 +686,8 @@ class ContinuousBatchingScheduler:
                 self._decode_dispatch_speculative()
             self.engine.stats.decode_time += time.perf_counter() - t0
             return
-        ms = self.multi_step if self._multi_step_ready() else None
+        k = self._choose_k()
+        ms = k if (k and k > 1 and self._multi_step_ready(k)) else None
         self._decode_dispatch(k_steps=ms)
         self._drain()
         self.engine.stats.decode_time += time.perf_counter() - t0
@@ -644,21 +696,34 @@ class ContinuousBatchingScheduler:
     # ------------------------------------------------------- token plumbing
     def _sync_first_tokens(self) -> None:
         """Merge prefill-sampled first tokens into the device-resident
-        current-token vector."""
+        current-token vector — ON DEVICE (jitted scatter), with the
+        host-side emission deferred through the pending FIFO like any
+        decode token. The round-4 form read back both the freshest
+        in-flight decode block and the prefill logits synchronously
+        here, so every admission cost a pipeline drain (~RTT + prefill)
+        with the device idle; overlapped admission keeps decode blocks
+        in flight across prefills (round-4 verdict item 3)."""
         eng = self.engine
         B = eng.max_batch
         if not hasattr(self, "_cur_tokens") or self._cur_tokens is None:
             self._cur_tokens = jnp.zeros((B, 1), jnp.int32)
         if not self._first_token:
             return
-        cur = np.asarray(self._cur_tokens).copy()
         for slot, first in self._first_token.items():
-            tok = int(np.asarray(first)[0])
-            cur[slot, 0] = tok
+            self._cur_tokens = self._merge_first_token(
+                self._cur_tokens, jnp.asarray(slot, jnp.int32), first
+            )
             req = self.active[slot]
-            self._emit(req, tok)
+            try:
+                first.copy_to_host_async()
+            except AttributeError:
+                pass
+            # ride the normal drain FIFO so a request's first token is
+            # always emitted before its decode tokens (same (slot, id)
+            # discard rules apply)
+            self._pending_tokens.append(first)
+            self._pending_slots.append(("first", slot, req.id))
         self._first_token.clear()
-        self._cur_tokens = jnp.asarray(cur)
 
     def _emit(self, req: Request, tok: int) -> bool:
         """Record a token; returns True if the request just finished."""
@@ -708,6 +773,12 @@ class ContinuousBatchingScheduler:
         ):
             toks = np.asarray(self._pending_tokens.popleft())
             owners = self._pending_slots.popleft()
+            if isinstance(owners, tuple) and owners[0] == "first":
+                _, slot, req_id = owners
+                req = self.active.get(slot)
+                if req is not None and not req.done and req.id == req_id:
+                    self._emit(req, int(toks.reshape(-1)[0]))
+                continue
             rows = toks[None, :] if toks.ndim == 1 else toks  # [K, B]
             for row in rows:
                 for slot, req_id in owners:

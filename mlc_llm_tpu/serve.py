@@ -26,6 +26,31 @@ import sys
 import time
 
 
+def _multi_step_arg(v: str):
+    """--multi-step accepts an int K or 'auto'/'auto:K' (adaptive)."""
+    if v.startswith("auto"):
+        if ":" in v:
+            int(v.split(":", 1)[1])  # validate
+        return v
+    return int(v)
+
+
+def multi_step_compile_ks(multi_step):
+    """K values precompile should warm for a --multi-step setting:
+    the static K, or every power-of-two block the adaptive policy can
+    pick (scheduler._choose_k rounds down to powers of two)."""
+    if multi_step is None:
+        return None
+    if isinstance(multi_step, str):
+        kmax = int(multi_step.split(":", 1)[1]) if ":" in multi_step else 8
+        ks, p = [], 2
+        while p <= kmax:
+            ks.append(p)
+            p *= 2
+        return tuple(ks) or None
+    return multi_step
+
+
 def _build_engine(args):
     import jax
 
@@ -70,7 +95,7 @@ def run_server(args) -> None:
         t0 = time.time()
         n = engine.precompile(
             progress=lambda m: print(f"precompile: {m}", flush=True),
-            multi_step=args.multi_step,
+            multi_step=multi_step_compile_ks(args.multi_step),
         )
         print(f"precompiled {n} programs in {time.time() - t0:.1f}s",
               flush=True)
@@ -146,10 +171,15 @@ def main(argv=None):
                          "verify blocks on all-greedy transient batches "
                          "(exact greedy output, up to K tokens per slot "
                          "per pass)")
-    ap.add_argument("--multi-step", type=int, default=None, metavar="K",
+    ap.add_argument("--multi-step", type=_multi_step_arg, default=None,
+                    metavar="K|auto[:K]",
                     help="run K decode steps per device dispatch (host "
                          "reads a [K, B] token block; stop detection lags "
-                         "up to K-1 tokens inside a block)")
+                         "up to K-1 tokens inside a block). 'auto' (max 8) "
+                         "or 'auto:K' picks the block size per dispatch "
+                         "from slot occupancy and queue backlog: "
+                         "single-step when sparse (low-load TTFT), full K "
+                         "when saturated (throughput)")
     ap.add_argument("--decode-ahead", type=int, default=1,
                     help="decode steps kept in flight before blocking on "
                          "the oldest token readback (amortizes host-device "

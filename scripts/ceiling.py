@@ -111,6 +111,67 @@ def _stream_call(layer, data, scale, zero, *, bkw, bn, k_steps,
     )(layer, data, scale, zero)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("bkw", "bn", "k_steps", "interpret"))
+def _stream_merged_call(salt, data, scale, zero, *, bkw, bn, k_steps,
+                        interpret=False):
+    """ONE pallas_call streaming ALL L stacked layers (grid walks the
+    layer axis) with the production block DMAs — the round-4 verdict's
+    merged-invocation falsifier. If this beats the per-invocation
+    ceiling (`_stream_call` per layer), the per-invocation pipeline
+    ramp is recoverable by a megakernel; if it matches, the per-shape
+    ceilings are the wall for ANY kernel structure over these buffers.
+
+    `salt` (scalar-prefetch) is folded into the accumulator so repeated
+    calls inside the timing fori_loop stay distinct (no CSE/hoisting —
+    the call would otherwise be loop-invariant).
+    """
+    L, kw, n = data.shape
+    G = scale.shape[1]
+    Gt = G // k_steps
+
+    def kernel(s2_ref, w_ref, s_ref, z_ref, o_ref, acc_ref):
+        first = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+                 & (pl.program_id(2) == 0))
+
+        @pl.when(first)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            acc_ref[0:1, :] = jnp.full(
+                (1, 128), s2_ref[0].astype(jnp.float32))
+
+        w = w_ref[0]
+        s = s_ref[0]
+        z = z_ref[0]
+        ws = jnp.sum((w >> 1).astype(jnp.int32), axis=0, keepdims=True)
+        ss = jnp.sum(s.astype(jnp.float32), axis=0, keepdims=True)
+        zs = jnp.sum(z.astype(jnp.float32), axis=0, keepdims=True)
+        tot = ws.astype(jnp.float32) + ss + zs  # [1, bn]
+        acc_ref[0:1, :] = acc_ref[0:1, :] + tot[:, :128]
+        o_ref[:] = acc_ref[:]
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L, n // bn, k_steps),
+        in_specs=[
+            pl.BlockSpec((1, bkw, bn), lambda l, j, kk, s: (l, kk, j)),
+            pl.BlockSpec((1, Gt, bn), lambda l, j, kk, s: (l, kk, j)),
+            pl.BlockSpec((1, Gt, bn), lambda l, j, kk, s: (l, kk, j)),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda l, j, kk, s: (0, 0)),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(salt, data, scale, zero)
+
+
 def _timed_loop(call_one, L, bytes_per_call, label, repeats=3):
     """Adaptive long-minus-short on-device loop; returns best seconds.
 
@@ -176,6 +237,9 @@ def main():
                          "704x512,352x512 (applies to every shape)")
     ap.add_argument("--cpu", action="store_true",
                     help="CPU smoke (interpret-mode stream kernel)")
+    ap.add_argument("--merged", action="store_true",
+                    help="also measure the MERGED streaming ceiling "
+                         "(one pallas_call walking all L stacked layers)")
     ap.add_argument("--shapes", default=None,
                     help="comma-separated k x n pairs, e.g. 4096x4096,11008x4096")
     args = ap.parse_args()
@@ -262,6 +326,33 @@ def main():
                               "gbps": round(g_ceil, 1) if g_ceil else None}),
                   flush=True)
 
+            # --- merged leg (one call streams all L layers) ---
+            g_merged = None
+            if args.merged:
+                def merged_one(l):
+                    return _stream_merged_call(
+                        jnp.asarray(l, jnp.int32).reshape(1),
+                        data, scale, zero,
+                        bkw=bkw, bn=bn, k_steps=k_steps, interpret=interp)
+
+                try:
+                    t_m = _timed_loop(merged_one, L, L * bytes_per_call,
+                                      f"merged:{shape_key}:{tag}")
+                except Exception as e:
+                    print(json.dumps({"kind": "merged", "shape": shape_key,
+                                      "blocks": [bkw, bn],
+                                      "error": f"{type(e).__name__}"[:80]}),
+                          flush=True)
+                    t_m = float("inf")
+                g_merged = (L * bytes_per_call / t_m / 1e9
+                            if t_m < float("inf") else None)
+                print(json.dumps({"kind": "merged", "shape": shape_key,
+                                  "blocks": [bkw, bn],
+                                  "us": round(t_m * 1e6, 1),
+                                  "gbps": (round(g_merged, 1)
+                                           if g_merged else None)}),
+                      flush=True)
+
             # --- gp leg (same process, right after) ---
             orig_gp = dm._gp_blocks
             dm._gp_blocks = lambda *a, _b=(bkw, bn), **kk: _b
@@ -302,6 +393,9 @@ def main():
                          "ceiling_gbps": round(g_ceil, 1),
                          "gp_gbps": round(g_gp, 1),
                          "gp_vs_ceiling": round(g_gp / g_ceil, 3)}
+                if g_merged:
+                    entry["merged_gbps"] = round(g_merged, 1)
+                    entry["merged_vs_ceiling"] = round(g_merged / g_ceil, 3)
                 summary[shape_key].setdefault("runs", []).append(entry)
 
     bw1 = hbm_probe()

@@ -45,8 +45,9 @@ def main():
                     help="requests per load point")
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--new-tokens", type=int, default=48)
-    ap.add_argument("--multi-step", type=int, default=None,
-                    help="K decode steps per device dispatch")
+    ap.add_argument("--multi-step", default=None,
+                    help="K decode steps per device dispatch (int), or "
+                         "'auto'/'auto:K' for the adaptive policy")
     ap.add_argument("--ahead", type=int, default=1,
                     help="decode dispatch-ahead depth (scheduler "
                          "decode_ahead); >1 amortizes tunnel RTT")
@@ -63,6 +64,10 @@ def main():
     from mlc_llm_tpu.engine import GenerationConfig, InferenceEngine
     from mlc_llm_tpu.engine.scheduler import ContinuousBatchingScheduler
     from mlc_llm_tpu.models import get_config, init_random_params
+
+    if args.multi_step is not None and not str(args.multi_step).startswith(
+            "auto"):
+        args.multi_step = int(args.multi_step)
 
     cfg = get_config(args.model)
     if args.cpu:
