@@ -297,6 +297,56 @@ def _kernel_pairs_hs(*refs, spec: QuantSpec, k_steps: int, out_dtype,
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+def _kernel_pairs_qs(*refs, spec: QuantSpec, k_steps: int, out_dtype,
+                     stacked: bool, interpret: bool):
+    """int4/u32 QUARTER-SPLIT pairs path (spec.layout == 'qsplit'),
+    flat or stacked: one (m, n, k) grid step.
+
+    The four activation quarters arrive as FREE lane slices of x (like
+    hsplit's halves) and each field plane is bit-assembled to exact
+    bf16 values 16+q with NO i8->bf16 cast (see _qs_planes_bf16). The
+    weight value is built in affine form with the +16 folded into the
+    offset: w = (16+q)*s + (z - 16*s); 4 MXU dots per grid step on
+    quarter-width lhs slices (same total MXU work as hsplit's 2)."""
+    if stacked:
+        (_l, x0_ref, x1_ref, x2_ref, x3_ref, w_ref, *rest) = refs
+        srefs, (o_ref, acc_ref) = rest[:8], rest[8:]
+        w_in = w_ref[0]
+        svals = [r[0] for r in srefs]
+    else:
+        (x0_ref, x1_ref, x2_ref, x3_ref, w_ref, *rest) = refs
+        srefs, (o_ref, acc_ref) = rest[:8], rest[8:]
+        w_in = w_ref[:]
+        svals = [r[:] for r in srefs]
+    xrefs = (x0_ref, x1_ref, x2_ref, x3_ref)
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    cdtype = x0_ref.dtype
+    rpg = spec.group_size  # plane rows per group: 32 consecutive elements
+    dn = (((1,), (0,)), ((), ()))
+    acc = acc_ref[:]
+    for f in range(4):
+        plane = _qs_planes_bf16(w_in, f, interpret)  # [2*BKw, BN], 16+q
+        s, z = svals[2 * f], svals[2 * f + 1]
+        se = _row_repeat(s.astype(cdtype), rpg)
+        if spec.sym:
+            off = se * (-(spec.max_int + 16))
+        else:
+            off = _row_repeat(z.astype(cdtype), rpg) - se * 16
+        wv = plane.astype(cdtype) * se + off
+        acc += jax.lax.dot_general(
+            xrefs[f][:], wv, dn, preferred_element_type=jnp.float32)
+    acc_ref[:] = acc
+
+    @pl.when(k_idx == k_steps - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
 def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, spec: QuantSpec,
             wpg: int, k_steps: int, out_dtype):
     """One (m, n, k) grid step.
@@ -762,24 +812,49 @@ def _dequant_matmul_2d(
     if spec.mode == "int4" and spec.storage == "u32":
         # fast path: i8 nibble pairs (see _nibble_planes)
         hsplit = spec.layout == "hsplit"
-        if hsplit:
+        qsplit = spec.layout == "qsplit"
+        if qsplit:
+            # the field planes are x's contiguous quarters: free slices
+            kq = k_stored // 4
+            xparts = [x[:, f * kq:(f + 1) * kq] for f in range(4)]
+        elif hsplit:
             # the nibble planes are x's contiguous halves: free slices
             kh = k_stored // 2
-            xlo = x[:, :kh]
-            xhi = x[:, kh:]
+            xparts = [x[:, :kh], x[:, kh:]]
         else:
             xr = x.reshape(m, kw, 4, 2)
-            xlo = xr[..., 0].reshape(m, kw * 4)
-            xhi = xr[..., 1].reshape(m, kw * 4)
+            xparts = [xr[..., 0].reshape(m, kw * 4),
+                      xr[..., 1].reshape(m, kw * 4)]
         m_pad = -(-m // bm) * bm
         if m_pad != m:
-            xlo = jnp.pad(xlo, ((0, m_pad - m), (0, 0)))
-            xhi = jnp.pad(xhi, ((0, m_pad - m), (0, 0)))
+            xparts = [jnp.pad(xp_, ((0, m_pad - m), (0, 0)))
+                      for xp_ in xparts]
         k_steps = kw // bkw
         bkg = bkw // wpg
         if zero is None:
             zero = scale
-        if hsplit:
+        if qsplit:
+            gq = bkg // 4  # groups per field quarter per k-tile
+            assert bkg % 4 == 0 and (gq % 8 == 0 or k_steps == 1), (
+                f"qsplit k-tile must cover a 4-divisible group count "
+                f"with 8-sublane quarter blocks, got bkg={bkg} "
+                f"(bkw={bkw}): tune qsplit bkw to 128-word units")
+            kernel = functools.partial(
+                _kernel_pairs_qs, spec=spec, k_steps=k_steps,
+                out_dtype=out_dtype, stacked=False, interpret=interpret,
+            )
+            in_specs = [
+                pl.BlockSpec((bm, 2 * bkw), lambda i, j, kk: (i, kk))
+                for _ in range(4)
+            ] + [pl.BlockSpec((bkw, bn), lambda i, j, kk: (kk, j))]
+            for f in range(4):
+                in_specs += [
+                    pl.BlockSpec((gq, bn),
+                                 lambda i, j, kk, _f=f:
+                                 (_f * k_steps + kk, j)),
+                ] * 2
+            operands = tuple(xparts) + (data,) + (scale, zero) * 4
+        elif hsplit:
             assert bkg % 2 == 0, (
                 f"hsplit k-tile must cover an even group count, got "
                 f"bkg={bkg} (bkw={bkw}): tune hsplit bkw to 8-word units")
@@ -800,7 +875,7 @@ def _dequant_matmul_2d(
                 pl.BlockSpec((bkg // 2, bn),
                              lambda i, j, kk: (k_steps + kk, j)),
             ]
-            operands = (xlo, xhi, data, scale, zero, scale, zero)
+            operands = (xparts[0], xparts[1], data, scale, zero, scale, zero)
         else:
             kernel = functools.partial(
                 _kernel_pairs, spec=spec, k_steps=k_steps,
@@ -813,7 +888,7 @@ def _dequant_matmul_2d(
                 pl.BlockSpec((bkg, bn), lambda i, j, kk: (kk, j)),
                 pl.BlockSpec((bkg, bn), lambda i, j, kk: (kk, j)),
             ]
-            operands = (xlo, xhi, data, scale, zero)
+            operands = (xparts[0], xparts[1], data, scale, zero)
         out = pl.pallas_call(
             kernel,
             grid=(m_pad // bm, n_stored // bn, k_steps),
@@ -916,12 +991,15 @@ def _gp_pick_cg(n_groups_tile: int, m: int) -> Optional[int]:
 
 
 def gp_matmul_supported(spec: QuantSpec, n_groups: int, m: int) -> bool:
-    if spec.layout == "hsplit" and not hs_groups_blockable(n_groups):
-        # hsplit splits the group range in half per nibble plane, and
-        # the per-plane scale blocks [G/2, bn] must satisfy Mosaic's
-        # 8-sublane block rule. Engines group-pad to multiples of 32 so
-        # this never triggers on their path; raw callers fall back to
-        # the jnp dequantize matmul (dispatch below).
+    if not split_groups_blockable(spec, n_groups):
+        # split layouts partition the group range per nibble/field
+        # plane, and the per-plane scale blocks ([G/2, bn] hsplit,
+        # [G/4, bn] qsplit) must satisfy Mosaic's 8-sublane block rule.
+        # Engines group-pad to multiples of 32 so this never triggers
+        # on their path; raw callers fall back to the jnp dequantize
+        # matmul (dispatch below).
+        return False
+    if spec.layout == "qsplit" and _gp_pick_cg_qs(n_groups, m) is None:
         return False
     return (
         spec.mode == "int4"
@@ -936,6 +1014,34 @@ def hs_groups_blockable(n_groups: int) -> bool:
     """hsplit kernels fetch per-plane scale HALF-blocks [G/2, bn]; the
     Mosaic block rule needs the sublane dim divisible by 8 (or full)."""
     return n_groups % 2 == 0 and (n_groups // 2) % 8 == 0
+
+
+def qs_groups_blockable(n_groups: int) -> bool:
+    """qsplit kernels fetch per-field scale QUARTER-blocks [G/4, bn]."""
+    return n_groups % 4 == 0 and (n_groups // 4) % 8 == 0
+
+
+def split_groups_blockable(spec: QuantSpec, n_groups: int) -> bool:
+    """Can the fused kernels block this split layout's scale fetches?
+    (pair always can; engines group-pad to 32 so this never fails on
+    their path — raw callers fall back to the jnp dequantize matmul)."""
+    if spec.layout == "hsplit":
+        return hs_groups_blockable(n_groups)
+    if spec.layout == "qsplit":
+        return qs_groups_blockable(n_groups)
+    return True
+
+
+def _gp_pick_cg_qs(n_groups_tile: int, m: int) -> Optional[int]:
+    """qsplit chunk width (groups per diagonal block, all four fields
+    combined). The banded quarter-plane lane dim is 8*Cg (width-32
+    bands on Cg/4 rows per field), so Cg >= 16 keeps the scratch at
+    the 128-lane tile; budgets otherwise follow _gp_pick_cg."""
+    budget = 32 if m <= 1 else 16
+    for c in (budget, 16):
+        if c <= budget and n_groups_tile % c == 0:
+            return c
+    return None
 
 
 def _band_mask(Cg: int, width: int, dtype):
@@ -1066,6 +1172,83 @@ def _band_store_hs(x_ref, xd_ref, *, Cg: int, cpt: int, M: int,
                 ).reshape(rpc, cols)
 
 
+def _band_store_qs(x_ref, xd_ref, *, Cg: int, cpt: int, M: int,
+                   k_steps: int = 1):
+    """Band the raw activation's four contiguous quarters into the
+    block-diagonal scratch [k_steps, 4, cpt*Cg4*M, 32*Cg4] (Cg4 =
+    Cg//4; one full quant group per band row; section kk holds the
+    chunks k-tile kk consumes). Every slice is a stride-1 lane slice
+    of x — like hsplit, no XLA-side deinterleave exists at all."""
+    Cg4 = Cg // 4
+    band = _band_mask(Cg4, 32, xd_ref.dtype)
+    cols = 32 * Cg4  # == 8 * Cg
+    rpc = Cg4 * M
+    KQ = k_steps * cpt * cols  # == K // 4
+    for sec in range(k_steps):
+        for c in range(cpt):
+            g = sec * cpt + c
+            for f in range(4):
+                xs = x_ref[:, f * KQ + g * cols:f * KQ + (g + 1) * cols]
+                xd_ref[sec, f, c * rpc:(c + 1) * rpc, :] = (
+                    band[:, None, :] * xs[None, :, :]
+                ).reshape(rpc, cols)
+
+
+def _qs_planes_bf16(wc: Array, f: int, interpret: bool) -> Array:
+    """qsplit u32 words [W, N] -> field-f bf16 plane [2W, N] holding
+    EXACT values 16+q (q = the 4-bit code): bit-assembled as
+    0x4180 | q<<3 per halfword (bf16 16.0 = 0x4180; ulp at 2^4 is
+    2^-3, so all 16 codes land exactly — the gp3 trick at 4 bits).
+    Row 2w+h of the plane is element f*(K/4) + 2*(word w) + h, i.e.
+    CONTIGUOUS elements of x's f-th quarter. No i8->bf16 cast — the
+    cast was the measured per-element floor of the hsplit kernels
+    (tpu_logs/qsplit_ab_r5.log)."""
+    t = (wc << 3) if f == 0 else (wc >> (4 * f - 3))
+    bits = (t & jnp.uint32(0x00780078)) | jnp.uint32(0x41804180)
+    return _split_bf16(bits, interpret)
+
+
+def _gp_body_qs(xb, w2d, fields, acc, *, spec: QuantSpec, Cg: int,
+                cpt: int, M: int, interpret: bool):
+    """Quarter-split gp chunk loop, WIDTH-32 bands, CAST-FREE planes.
+
+    xb: [4, cpt*Cg4*M, 32*Cg4] banded quarters for THIS k-tile (Cg4 =
+    Cg//4; plane f = bands of x[:, f*K/4:(f+1)*K/4]);
+    w2d: [BKW, BN]; fields: 4x (scale, zero) blocks for this tile
+    ([Gt//4, BN] each — the four field planes read disjoint group
+    quarters, fetched as separate blocks so k-tiling works).
+
+    The assembled plane value is 16+q, so the +16 folds into the
+    offset term exactly like gp3's +8: sym P - (16+max_int)*sx;
+    asym s*(P - 16*sx) + z*sx. Same f32 partial math as hsplit."""
+    dn = (((1,), (0,)), ((), ()))
+    Cg4 = Cg // 4
+    wpc = 4 * Cg  # u32 words per chunk (16 * Cg4)
+    rpc = Cg4 * M
+    for c in range(cpt):
+        wc = w2d[c * wpc:(c + 1) * wpc, :]
+        for f in range(4):
+            plane = _qs_planes_bf16(wc, f, interpret)  # [32*Cg4, BN]
+            s2d, z2d = fields[f]
+            g0 = c * Cg4
+            sc = s2d[g0:g0 + Cg4, :].astype(jnp.float32)
+            if M > 1:
+                sc = _row_repeat(sc, M)
+            xpb = xb[f, c * rpc:(c + 1) * rpc, :]
+            P = jax.lax.dot_general(
+                xpb, plane.astype(xpb.dtype), dn,
+                preferred_element_type=jnp.float32)
+            sx = jnp.sum(xpb, axis=1, keepdims=True).astype(jnp.float32)
+            if spec.sym:
+                acc = acc + sc * (P - float(16 + spec.max_int) * sx)
+            else:
+                zc = z2d[g0:g0 + Cg4, :].astype(jnp.float32)
+                if M > 1:
+                    zc = _row_repeat(zc, M)
+                acc = acc + sc * (P - 16.0 * sx) + zc * sx
+    return acc
+
+
 def _u32_halves_bf16(xu: Array, interpret: bool) -> Array:
     """u32 [M, C] -> bf16 [2M, C]: row 2m = bits 0-15 of row m (the
     EVEN original element), row 2m+1 = bits 16-31 (the ODD element) —
@@ -1119,7 +1302,7 @@ def _band_store(xp_ref, xd_ref, *, Cg: int, cpt: int, M: int,
 def _kernel_gp(*refs, spec: QuantSpec, Cg: int, cpt: int, M: int,
                k_steps: int, prebanded: bool, band_scratch: bool,
                raw_x: bool, stacked: bool, out_dtype, interpret: bool,
-               hsplit: bool = False):
+               hsplit: bool = False, qsplit: bool = False):
     """One (n, k) grid step of the group-partial kernel.
 
     stacked=True prepends the scalar-prefetch layer ref, and the
@@ -1127,7 +1310,8 @@ def _kernel_gp(*refs, spec: QuantSpec, Cg: int, cpt: int, M: int,
     straight from the [L, ...] resting buffers via the index maps
     (same trick as _kernel_pairs_stacked: no per-layer weight copy).
     """
-    ns = 4 if hsplit else 2  # hsplit: (slo, zlo, shi, zhi) half-blocks
+    # hsplit: (slo, zlo, shi, zhi) half-blocks; qsplit: 4x (s, z)
+    ns = 8 if qsplit else (4 if hsplit else 2)
     if stacked:
         _l, xp_ref, w_ref, *rest = refs
         srefs, (o_ref, acc_ref, *scratch) = rest[:ns], rest[ns:]
@@ -1138,7 +1322,7 @@ def _kernel_gp(*refs, spec: QuantSpec, Cg: int, cpt: int, M: int,
         srefs, (o_ref, acc_ref, *scratch) = rest[:ns], rest[ns:]
         w_in = w_ref[:]
         svals = [r[:] for r in srefs]
-    if not hsplit:
+    if not (hsplit or qsplit):
         s_in, z_in = svals
     kk = pl.program_id(2)
 
@@ -1159,7 +1343,10 @@ def _kernel_gp(*refs, spec: QuantSpec, Cg: int, cpt: int, M: int,
 
         @pl.when((pl.program_id(1) == 0) & (kk == 0))
         def _():
-            if hsplit:
+            if qsplit:
+                _band_store_qs(xp_ref, xd_ref, Cg=Cg, cpt=cpt, M=M,
+                               k_steps=k_steps)
+            elif hsplit:
                 _band_store_hs(xp_ref, xd_ref, Cg=Cg, cpt=cpt, M=M,
                                k_steps=k_steps)
             else:
@@ -1171,7 +1358,13 @@ def _kernel_gp(*refs, spec: QuantSpec, Cg: int, cpt: int, M: int,
     else:
         x_in = xp_ref[:]
         banded = prebanded
-    if hsplit:
+    if qsplit:
+        fields = tuple((svals[2 * f], svals[2 * f + 1]) for f in range(4))
+        acc_ref[:] = _gp_body_qs(
+            x_in, w_in, fields, acc_ref[:],
+            spec=spec, Cg=Cg, cpt=cpt, M=M, interpret=interpret,
+        )
+    elif hsplit:
         halves = ((svals[0], svals[1]), (svals[2], svals[3]))
         acc_ref[:] = _gp_body_hs(
             x_in, w_in, halves, acc_ref[:],
@@ -1187,20 +1380,23 @@ def _kernel_gp(*refs, spec: QuantSpec, Cg: int, cpt: int, M: int,
     @pl.when(kk == k_steps - 1)
     def _():
         a = acc_ref[:]
-        red = (Cg // 2) if hsplit else Cg  # hsplit bands one GROUP per row
+        # split layouts band one GROUP per row: Cg/2 (hsplit) / Cg/4
+        # (qsplit) band rows per chunk
+        red = (Cg // 4) if qsplit else ((Cg // 2) if hsplit else Cg)
         o_ref[:] = jnp.sum(a.reshape(red, M, a.shape[-1]), axis=0).astype(out_dtype)
 
 
 def _gp_blocks(m: int, kw: int, n: int, layout: str = "pair"):
     """Full-k tiles (k_steps=1) unless VMEM-bound; bn from the tuned
-    table else 512. hsplit shapes get their own key namespace (gph:)
-    so they never silently reuse blocks tuned for the pair layout."""
-    key = f"gph:{m}:{kw}:{n}" if layout == "hsplit" else f"gp:{m}:{kw}:{n}"
-    tuned = _tuned_table().get(key)
-    if tuned is None and layout == "hsplit":
-        # untuned hsplit shape: the pair pick is the best prior (same
-        # bytes, same grid, same k-tiling now that hsplit supports
-        # k_steps > 1)
+    table else 512. Split-layout shapes get their own key namespaces
+    (gph:/gpq:) so they never silently reuse blocks tuned for the pair
+    layout; an untuned split shape falls back along qsplit -> hsplit ->
+    pair (same bytes, same grid, same k-tiling)."""
+    pref = {"hsplit": "gph", "qsplit": "gpq"}.get(layout, "gp")
+    tuned = _tuned_table().get(f"{pref}:{m}:{kw}:{n}")
+    if tuned is None and layout == "qsplit":
+        tuned = _tuned_table().get(f"gph:{m}:{kw}:{n}")
+    if tuned is None and layout in ("hsplit", "qsplit"):
         tuned = _tuned_table().get(f"gp:{m}:{kw}:{n}")
     if tuned:
         return tuned[0], tuned[1]
@@ -1240,15 +1436,23 @@ def _dequant_matmul_gp_2d(
         x = jnp.pad(x, ((0, 0), (0, k_stored - x.shape[1])))
 
     hsplit = spec.layout == "hsplit"
+    qsplit = spec.layout == "qsplit"
     bkw, bn = _gp_blocks(m, kw, n_stored, layout=spec.layout)
     if hsplit and ((G // (kw // bkw)) % 2 != 0):
         # each k-tile must cover a whole, EVEN group count per plane
         # (the two nibble planes read disjoint halves of the tile's
         # group range); fall back to full-k when the split is odd
         bkw = kw
+    if qsplit:
+        gt = G // (kw // bkw)
+        if gt % 4 != 0 or (gt // 4) % 8 != 0:
+            # each k-tile must cover a whole group count per FIELD
+            # quarter AND the per-field scale blocks [Gt/4, bn] must
+            # satisfy Mosaic's 8-sublane rule; fall back to full-k
+            bkw = kw
     k_steps = kw // bkw
     Gt = G // k_steps
-    Cg = _gp_pick_cg(Gt, m)
+    Cg = _gp_pick_cg_qs(Gt, m) if qsplit else _gp_pick_cg(Gt, m)
     cpt = (4 * bkw) // (16 * Cg)
     # full-k band scratch at ANY k_steps (round 4): the raw activation
     # rides in whole with a constant index map (a few KB at m<=8) and
@@ -1257,7 +1461,7 @@ def _dequant_matmul_gp_2d(
     # is gone — it paid ~5 us/op of latency-bound XLA prep per call.
     band_scratch = True
     prebanded = False
-    raw_x = (not hsplit and GP_RAW_X and m == 1
+    raw_x = (not (hsplit or qsplit) and GP_RAW_X and m == 1
              and x.dtype == jnp.bfloat16)
 
     # the stacked (scalar-prefetch) grid passes the layer ref as a
@@ -1265,9 +1469,22 @@ def _dequant_matmul_gp_2d(
     am = (lambda f: (lambda i, j, kk, l: f(i, j, kk))) if stacked else (
         lambda f: f)
 
-    acc_rows = (Cg // 2) * m if hsplit else Cg * m
+    if qsplit:
+        acc_rows = (Cg // 4) * m
+    elif hsplit:
+        acc_rows = (Cg // 2) * m
+    else:
+        acc_rows = Cg * m
     scratch = [pltpu.VMEM((acc_rows, bn), jnp.float32)]
-    if hsplit:
+    if qsplit:
+        # raw activation straight in; all four quarters are lane-sliced
+        # and banded inside the kernel (stride-1 only; width-32 bands =
+        # one group per row, a quarter of the pair form's band rows)
+        xp = x
+        x_spec = pl.BlockSpec((m, k_stored), am(lambda i, j, kk: (0, 0)))
+        scratch.append(pltpu.VMEM(
+            (k_steps, 4, cpt * (Cg // 4) * m, 8 * Cg), x.dtype))
+    elif hsplit:
         # raw activation straight in; both halves are lane-sliced and
         # banded inside the kernel (stride-1 only; width-32 bands =
         # one group per row, half the band rows of the pair form)
@@ -1301,7 +1518,27 @@ def _dequant_matmul_gp_2d(
             return pl.BlockSpec(bs, lambda i, j, kk: (kk, j))
     if zero is None:
         zero = scale
-    if hsplit:
+    if qsplit:
+        # per-tile scale QUARTER-blocks: field f's groups live at rows
+        # [f*G/4 + kk*Gt/4, +Gt/4) — the field offset in block units is
+        # f*k_steps (G/4 = k_steps * Gt/4)
+        gq = Gt // 4
+        if stacked:
+            def sq(off):
+                return pl.BlockSpec(
+                    (1, gq, bn),
+                    lambda i, j, kk, l, _o=off: (l[0], _o + kk, j))
+        else:
+            def sq(off):
+                return pl.BlockSpec(
+                    (gq, bn), lambda i, j, kk, _o=off: (_o + kk, j))
+        in_specs = [x_spec, wb((bkw, bn))]
+        operands = [xp, data]
+        for f in range(4):
+            in_specs += [sq(f * k_steps), sq(f * k_steps)]
+            operands += [scale, zero]
+        operands = tuple(operands)
+    elif hsplit:
         # per-tile scale HALF-blocks: plane 0's groups live at rows
         # [kk*Gt/2, +Gt/2), plane 1's at [G/2 + kk*Gt/2, +Gt/2) — the
         # hi offset in block units is k_steps (G/2 = k_steps * Gt/2)
@@ -1327,7 +1564,7 @@ def _dequant_matmul_gp_2d(
         _kernel_gp, spec=spec, Cg=Cg, cpt=cpt, M=m, k_steps=k_steps,
         prebanded=prebanded, band_scratch=band_scratch, raw_x=raw_x,
         stacked=stacked, out_dtype=out_dtype, interpret=interpret,
-        hsplit=hsplit,
+        hsplit=hsplit, qsplit=qsplit,
     )
     cparams = pltpu.CompilerParams(
         dimension_semantics=(
@@ -1437,27 +1674,50 @@ def _dequant_matmul_stacked_2d(
     if x.shape[1] != k_stored:
         x = jnp.pad(x, ((0, 0), (0, k_stored - x.shape[1])))
     hsplit = spec.layout == "hsplit"
-    if hsplit:
+    qsplit = spec.layout == "qsplit"
+    if qsplit:
+        kq = k_stored // 4
+        xparts = [x[:, f * kq:(f + 1) * kq] for f in range(4)]
+    elif hsplit:
         kh = k_stored // 2
-        xlo = x[:, :kh]
-        xhi = x[:, kh:]
+        xparts = [x[:, :kh], x[:, kh:]]
     else:
         xr = x.reshape(m, kw, 4, 2)
-        xlo = xr[..., 0].reshape(m, kw * 4)
-        xhi = xr[..., 1].reshape(m, kw * 4)
+        xparts = [xr[..., 0].reshape(m, kw * 4),
+                  xr[..., 1].reshape(m, kw * 4)]
 
     bm, bkw, bn = _pick_blocks(m, kw, n_stored, wpg,
                                epw=spec.elems_per_word)
     m_pad = -(-m // bm) * bm
     if m_pad != m:
-        xlo = jnp.pad(xlo, ((0, m_pad - m), (0, 0)))
-        xhi = jnp.pad(xhi, ((0, m_pad - m), (0, 0)))
+        xparts = [jnp.pad(xp_, ((0, m_pad - m), (0, 0))) for xp_ in xparts]
     k_steps = kw // bkw
     bkg = bkw // wpg
     if zero is None:
         zero = scale
 
-    if hsplit:
+    if qsplit:
+        gq = bkg // 4
+        assert bkg % 4 == 0 and (gq % 8 == 0 or k_steps == 1), (
+            f"qsplit k-tile must cover a 4-divisible group count with "
+            f"8-sublane quarter blocks, got bkg={bkg} (bkw={bkw}): tune "
+            f"qsplit bkw to 128-word units")
+        kernel = functools.partial(
+            _kernel_pairs_qs, spec=spec, k_steps=k_steps,
+            out_dtype=out_dtype, stacked=True, interpret=interpret,
+        )
+        in_specs = [
+            pl.BlockSpec((bm, 2 * bkw), lambda i, j, kk, l: (i, kk))
+            for _ in range(4)
+        ] + [pl.BlockSpec((1, bkw, bn), lambda i, j, kk, l: (l[0], kk, j))]
+        for f in range(4):
+            in_specs += [
+                pl.BlockSpec((1, gq, bn),
+                             lambda i, j, kk, l, _f=f:
+                             (l[0], _f * k_steps + kk, j)),
+            ] * 2
+        operands = (layer,) + tuple(xparts) + (data,) + (scale, zero) * 4
+    elif hsplit:
         assert bkg % 2 == 0, (
             f"hsplit k-tile must cover an even group count, got "
             f"bkg={bkg} (bkw={bkw}): tune hsplit bkw to 8-word units")
@@ -1478,7 +1738,7 @@ def _dequant_matmul_stacked_2d(
             pl.BlockSpec((1, bkg // 2, bn),
                          lambda i, j, kk, l: (l[0], k_steps + kk, j)),
         ]
-        operands = (layer, xlo, xhi, data, scale, zero, scale, zero)
+        operands = (layer, xparts[0], xparts[1], data, scale, zero, scale, zero)
     else:
         kernel = functools.partial(
             _kernel_pairs_stacked, spec=spec, k_steps=k_steps,
@@ -1491,7 +1751,7 @@ def _dequant_matmul_stacked_2d(
             pl.BlockSpec((1, bkg, bn), lambda i, j, kk, l: (l[0], kk, j)),
             pl.BlockSpec((1, bkg, bn), lambda i, j, kk, l: (l[0], kk, j)),
         ]
-        operands = (layer, xlo, xhi, data, scale, zero)
+        operands = (layer, xparts[0], xparts[1], data, scale, zero)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(m_pad // bm, n_stored // bn, k_steps),
@@ -1540,8 +1800,8 @@ def dequant_matmul_stacked(
             spec=w.spec, shape=w.shape, out_dtype=out_dtype,
             interpret=interpret, stacked=True,
         )
-    elif (w.spec.layout == "hsplit"
-          and not hs_groups_blockable(w.scale.shape[1])):
+    elif (w.spec.layout in ("hsplit", "qsplit")
+          and not split_groups_blockable(w.spec, w.scale.shape[1])):
         from ...quant.groupwise import dequantize
 
         qt_l = QuantizedTensor(
@@ -1586,9 +1846,9 @@ def dequant_matmul(x: Array, w: QuantizedTensor, out_dtype=None) -> Array:
             spec=w.spec, shape=w.shape, out_dtype=out_dtype,
             interpret=interpret, stacked=False,
         )
-    elif (w.spec.layout == "hsplit"
-          and not hs_groups_blockable(w.scale.shape[0])):
-        # unpadded hsplit group count the kernels can't block: exact
+    elif (w.spec.layout in ("hsplit", "qsplit")
+          and not split_groups_blockable(w.spec, w.scale.shape[0])):
+        # unpadded split group count the kernels can't block: exact
         # jnp fallback (engines pad to 32 groups and never land here)
         from ...quant.groupwise import dequantize
 

@@ -137,6 +137,28 @@ def _hs_restore(codes_slots: Array) -> Array:
     )
 
 
+def _qs_interleave(codes: Array) -> Array:
+    """Element-order codes [K, n] -> nibble-slot order for qsplit packing.
+
+    qsplit ("quarter-split") puts element f*(K/4) + 2r + h in the
+    nibble at bits (16h + 4f) of word r, so extracting halfword field f
+    and bitcasting u32->bf16 yields a plane of CONTIGUOUS elements of
+    x's f-th quarter (kernels bit-assemble exact bf16 values with no
+    i8->bf16 cast). Nibble slot e = 4h + f of word r (bits 4e) holds
+    element f*(K/4) + 2r + h."""
+    K, n = codes.shape
+    assert K % 8 == 0, K
+    q = codes.reshape(4, K // 8, 2, n)  # [f, r, h, n]
+    return q.transpose(1, 2, 0, 3).reshape(K, n)  # slot order (r, h, f)
+
+
+def _qs_restore(codes_slots: Array) -> Array:
+    """Inverse of _qs_interleave: nibble-slot order -> element order."""
+    K, n = codes_slots.shape
+    a = codes_slots.reshape(K // 8, 2, 4, n)  # [r, h, f, n]
+    return a.transpose(2, 0, 1, 3).reshape(K, n)  # [f, r, h, n] flat
+
+
 def _pack_words(codes: Array, spec: QuantSpec) -> Array:
     """[k_pad, n] uint32 codes -> [k_pad//epw, n] packed words (LSB-first)."""
     epw = spec.elems_per_word
@@ -144,6 +166,8 @@ def _pack_words(codes: Array, spec: QuantSpec) -> Array:
     assert k_pad % epw == 0, (k_pad, epw)
     if spec.layout == "hsplit":
         codes = _hs_interleave(codes)
+    elif spec.layout == "qsplit":
+        codes = _qs_interleave(codes)
     wdtype = jnp.uint32 if spec.storage == "u32" else jnp.uint16
     codes = codes.reshape(k_pad // epw, epw, n).astype(jnp.uint32)
     shifts = (jnp.arange(epw, dtype=jnp.uint32) * spec.nbit)[None, :, None]
@@ -165,6 +189,8 @@ def _unpack_words(words: Array, spec: QuantSpec) -> Array:
     codes = codes.reshape(rows * epw, n)
     if spec.layout == "hsplit":
         codes = _hs_restore(codes)
+    elif spec.layout == "qsplit":
+        codes = _qs_restore(codes)
     return codes
 
 
@@ -237,18 +263,22 @@ def quantize(w: Array, spec) -> QuantizedTensor:
     if w.ndim != 2:
         raise ValueError(f"quantize expects a 2-D [k, n] weight, got shape {w.shape}")
     k, n = w.shape
-    if spec.layout == "hsplit":
-        # element q pairs with element K/2+q inside one byte, so the
-        # (group-padded) k must split into two equal group-aligned
-        # halves; otherwise the fused kernels' plane->group mapping is
-        # undefined (an odd group count previously surfaced as an opaque
-        # broadcast TypeError deep inside the Pallas kernel)
+    if spec.layout in ("hsplit", "qsplit"):
+        # split layouts pair element q with elements K/2+q (hsplit) or
+        # spread a word over four quarters (qsplit), so the
+        # (group-padded) k must split into 2 (hsplit) / 4 (qsplit)
+        # equal group-aligned parts; otherwise the fused kernels'
+        # plane->group mapping is undefined (an odd group count
+        # previously surfaced as an opaque broadcast TypeError deep
+        # inside the Pallas kernel)
+        parts = 2 if spec.layout == "hsplit" else 4
         k_pad = -(-k // spec.group_size) * spec.group_size
-        if (k_pad // spec.group_size) % 2 != 0:
+        if (k_pad // spec.group_size) % parts != 0:
             raise ValueError(
-                f"hsplit layout needs an even group count: k={k} gives "
-                f"{k_pad // spec.group_size} groups of {spec.group_size}; "
-                "use the 'pair' layout for this shape")
+                f"{spec.layout} layout needs a group count divisible by "
+                f"{parts}: k={k} gives {k_pad // spec.group_size} groups "
+                f"of {spec.group_size}; use spec_for_k for per-shape "
+                "layout fallback")
     data, scale, zero = _quantize_impl(jnp.asarray(w), spec)
     return QuantizedTensor(data=data, scale=scale, zero=zero, spec=spec, shape=(k, n))
 
@@ -278,11 +308,12 @@ def pad_quantized_groups(qt: QuantizedTensor, mult: int = 32) -> QuantizedTensor
         pw[-2] = (0, rows)
         return jnp.pad(a, pw)
 
-    if spec.layout == "hsplit":
-        # the hsplit element->nibble-slot mapping depends on TOTAL k
-        # (element q pairs with K/2+q), so appending zero words would
-        # silently shift every existing element: zero-pad at the CODE
-        # level and repack (one-time init cost)
+    if spec.layout in ("hsplit", "qsplit"):
+        # the split element->nibble-slot mappings depend on TOTAL k
+        # (hsplit pairs q with K/2+q; qsplit spreads words over four
+        # quarters), so appending zero words would silently shift every
+        # existing element: zero-pad at the CODE level and repack
+        # (one-time init cost)
         def repack(d2):
             # u8 codes (values 0-15) keep the transient at 2x the packed
             # size; layers repack SEQUENTIALLY — a vmap over 32 stacked
@@ -308,17 +339,18 @@ def pad_quantized_groups(qt: QuantizedTensor, mult: int = 32) -> QuantizedTensor
 
 
 def to_pair_layout(qt: QuantizedTensor) -> QuantizedTensor:
-    """Repack an hsplit-packed tensor into the pair element order
-    (exact: same codes, same scales — only the element->bit-slot
-    assignment changes). Used before GSPMD sharding: the hsplit mapping
-    is GLOBAL in k (element q pairs with K/2+q), so a row-sharded
-    hsplit tensor's dequantize would permute rows ACROSS shards and
-    GSPMD would insert per-layer weight resharding; the pair order is
-    shard-local under contiguous k splits. Works on flat [KW, N] and
-    layer-stacked [L, KW, N] tensors (sequential per layer — a vmap
-    materializes L full code planes at once)."""
+    """Repack a split-packed (hsplit/qsplit) tensor into the pair
+    element order (exact: same codes, same scales — only the
+    element->bit-slot assignment changes). Used before GSPMD sharding:
+    the split mappings are GLOBAL in k (hsplit pairs q with K/2+q;
+    qsplit spreads words over quarters), so a row-sharded tensor's
+    dequantize would permute rows ACROSS shards and GSPMD would insert
+    per-layer weight resharding; the pair order is shard-local under
+    contiguous k splits. Works on flat [KW, N] and layer-stacked
+    [L, KW, N] tensors (sequential per layer — a vmap materializes L
+    full code planes at once)."""
     spec = qt.spec
-    if spec.layout != "hsplit":
+    if spec.layout not in ("hsplit", "qsplit"):
         return qt
     import dataclasses as _dc
 

@@ -36,6 +36,16 @@ class QuantSpec:
     #             NO XLA deinterleave (the pair layout's per-call
     #             convert/reshape/shift chains measured ~0.4 ms/step at
     #             7B b1 decode, tpu_logs/profile_r3).
+    #   "qsplit": nibble at bits (16h + 4f) of word r holds element
+    #             f*(K/4) + 2r + h — each halfword FIELD plane is a
+    #             contiguous QUARTER of x, so the kernels build exact
+    #             bf16 values 16+q by pure bit assembly
+    #             ((w>>shift & 0x00780078) | 0x41804180, the gp3 trick
+    #             at 4 bits) with ZERO i8->bf16 casts. The cast was the
+    #             measured per-element floor of the hsplit kernels
+    #             (wo at 69% of its own streaming ceiling on a quiet
+    #             chip, tpu_logs/ceiling_merged_r5.log; qsplit kernel
+    #             +5..+57% per shape, tpu_logs/qsplit_ab_r5.log).
     # Same codes, same scales, same math — only the element->bit-slot
     # assignment differs.
     layout: str = "pair"
@@ -43,11 +53,12 @@ class QuantSpec:
     def __post_init__(self):
         if self.mode == "none":
             return
-        if self.layout not in ("pair", "hsplit"):
+        if self.layout not in ("pair", "hsplit", "qsplit"):
             raise ValueError(f"unknown packing layout {self.layout!r}")
-        if self.layout == "hsplit" and not (
+        if self.layout in ("hsplit", "qsplit") and not (
                 self.mode == "int4" and self.storage == "u32"):
-            raise ValueError("hsplit layout is defined for int4/u32 only")
+            raise ValueError(
+                f"{self.layout} layout is defined for int4/u32 only")
         if self.mode == "int3" and not self.sym:
             # int3 requires sym, as in the reference
             # (/root/reference/mlc_llm/transform/quantization.py:284-287).
@@ -127,6 +138,11 @@ QUANT_PRESETS = {
                           layout="hsplit"),
     "q4bf16_hs": QuantSpec("int4", 32, False, "u32", "bfloat16",
                            layout="hsplit"),
+    # quarter-split: cast-free bit-assembled kernels (round 5)
+    "q4f16_qs": QuantSpec("int4", 32, False, "u32", "float16",
+                          layout="qsplit"),
+    "q4bf16_qs": QuantSpec("int4", 32, False, "u32", "bfloat16",
+                           layout="qsplit"),
     "q4f32": QuantSpec("int4", 32, False, "u32", "float32"),
     "q4f16_sym": QuantSpec("int4", 32, True, "u32", "float16"),
     "q4bf16_sym": QuantSpec("int4", 32, True, "u32", "bfloat16"),
@@ -165,14 +181,20 @@ def resolve_spec(spec) -> QuantSpec:
 
 
 def spec_for_k(spec: QuantSpec, k: int) -> QuantSpec:
-    """Per-tensor layout resolution: downgrade hsplit to the pair order
-    when the (group-padded) k has an odd group count — hsplit pairs
-    element q with K/2+q inside one byte, which needs two equal
-    group-aligned halves. Loaders call this per weight so one odd shape
-    never blocks a whole model build; quantize() itself still raises on
-    an explicit invalid request."""
-    if spec.layout == "hsplit" and spec.is_quantized:
+    """Per-tensor layout resolution: downgrade split layouts when the
+    (group-padded) k cannot split into equal group-aligned parts —
+    hsplit pairs element q with K/2+q inside one byte (needs an even
+    group count); qsplit spreads a word over four quarters (needs a
+    group count divisible by 4, falling back to hsplit then pair).
+    Loaders call this per weight so one odd shape never blocks a whole
+    model build; quantize() itself still raises on an explicit invalid
+    request."""
+    if spec.is_quantized and spec.layout in ("hsplit", "qsplit"):
         k_pad = -(-k // spec.group_size) * spec.group_size
-        if (k_pad // spec.group_size) % 2 != 0:
+        g = k_pad // spec.group_size
+        if spec.layout == "qsplit" and g % 4 != 0:
+            return dataclasses.replace(
+                spec, layout="hsplit" if g % 2 == 0 else "pair")
+        if spec.layout == "hsplit" and g % 2 != 0:
             return dataclasses.replace(spec, layout="pair")
     return spec

@@ -269,7 +269,8 @@ def tune_shapes(shapes, quant="q4bf16", ms=(1,), verbose=True,
                 # hsplit shapes tune under their own key namespace so a
                 # sweep never overwrites pair-layout picks (the runtime
                 # reads gph: first and falls back to gp:)
-                pref = "gph" if spec.layout == "hsplit" else "gp"
+                pref = {"hsplit": "gph", "qsplit": "gpq"}.get(
+                    spec.layout, "gp")
                 key = f"{pref}:{m}:{kw}:{n_stored}"
             elif gp3_matmul_supported(spec, qt.scale.shape[0], m):
                 # gp3 (int3/u16): bn-only sweep under its own key (the

@@ -1,7 +1,8 @@
-"""Same-process A/B: pair vs half-split packing on the full vicuna-7b
-q4bf16 decode step + ctx-512 prefill (TTFT proxy).
+"""Same-process A/B: two quantization presets (packing layouts) on the
+full vicuna-7b decode step + ctx-512 prefill (TTFT proxy).
 
-    python scripts/hs_ab.py
+    python scripts/hs_ab.py                       # pair vs half-split
+    python scripts/hs_ab.py q4bf16 q4bf16_qs      # hsplit vs qsplit
 """
 import json
 import os
@@ -93,10 +94,11 @@ def main():
     # interleaved visits (A, B, A, B): single sequential legs measured a
     # phantom table regression in round 3 via compile-cache asymmetry
     # (see scripts/table_ab.py docstring); report per-visit spread
+    presets = sys.argv[1:] or ["q4bf16", "q4bf16_hs"]
     out = {p: {"decode_tok_s": [], "prefill512_ms": [], "leg_wall_s": []}
-           for p in ("q4bf16", "q4bf16_hs")}
+           for p in presets}
     for visit in range(2):
-        for preset in ("q4bf16", "q4bf16_hs"):
+        for preset in presets:
             t0 = time.perf_counter()
             per_step, pf = run_leg(preset)
             out[preset]["decode_tok_s"].append(

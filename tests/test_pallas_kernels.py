@@ -432,3 +432,144 @@ def test_hsplit_f16_compute_matches_jnp():
         np.testing.assert_allclose(
             np.asarray(y, np.float32), np.asarray(yr, np.float32),
             atol=1e-2, rtol=1e-2)
+
+
+def test_qsplit_kernels_match_jnp_all_paths():
+    """Quarter-split packing (q4bf16_qs, round 5: cast-free bit-
+    assembled bf16 planes) through every int4/u32 kernel path — gp
+    flat/stacked (m<=8) and pairs flat/stacked (prefill m) — must
+    match the jnp dequantize-then-matmul reference."""
+    import numpy as np
+
+    from mlc_llm_tpu.ops.pallas.dequant_matmul import (
+        dequant_matmul,
+        dequant_matmul_stacked,
+    )
+    from mlc_llm_tpu.quant import dequantize, quantize
+    from mlc_llm_tpu.quant.groupwise import (
+        QuantizedTensor,
+        pad_quantized_groups,
+    )
+
+    rng = np.random.default_rng(1)
+    k, n = 1024, 384
+    qts = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, 0),
+        *[pad_quantized_groups(quantize(
+            (rng.standard_normal((k, n)) * 0.05).astype(np.float32),
+            "q4bf16_qs")) for _ in range(3)],
+    )
+    qt = QuantizedTensor(data=qts.data[1], scale=qts.scale[1],
+                         zero=qts.zero[1], spec=qts.spec, shape=qts.shape)
+    ref_w = dequantize(qt, "bfloat16")
+    for m in (1, 2, 8, 16):
+        x = jnp.asarray(rng.standard_normal((m, k)) * 0.1, jnp.bfloat16)
+        yr = jnp.matmul(x, ref_w, preferred_element_type=jnp.float32)
+        for y in (dequant_matmul(x, qt),
+                  dequant_matmul_stacked(x, qts, jnp.int32(1))):
+            np.testing.assert_allclose(
+                np.asarray(y, np.float32), np.asarray(yr, np.float32),
+                atol=1e-2, rtol=1e-2)
+
+
+def test_qsplit_gp_k_steps_matches(tmp_path, monkeypatch):
+    """qsplit gp with k_steps > 1 (per-tile scale QUARTER-blocks +
+    sectioned band scratch) must stay exact; also pins the gpq: tuned
+    namespace and the full-k fallback when the per-field quarter
+    blocks cannot satisfy Mosaic's 8-sublane rule."""
+    import importlib
+    import json
+
+    import numpy as np
+
+    dm = importlib.import_module("mlc_llm_tpu.ops.pallas.dequant_matmul")
+    from mlc_llm_tpu.quant import dequantize, quantize
+    from mlc_llm_tpu.quant.groupwise import pad_quantized_groups
+
+    k, n = 8192, 256  # kw=1024, G=256; bkw=512 -> k_steps=2, Gt/4=32
+    rng = np.random.default_rng(11)
+    qt = pad_quantized_groups(quantize(
+        (rng.standard_normal((k, n)) * 0.05).astype(np.float32),
+        "q4bf16_qs"))
+    kw, n_stored = qt.data.shape
+    table = tmp_path / "tuned_blocks.json"
+    table.write_text(json.dumps({
+        f"gpq:1:{kw}:{n_stored}": [kw // 2, 128],
+        f"gpq:2:{kw}:{n_stored}": [kw // 2, 128],
+    }))
+    monkeypatch.setenv("MLC_TUNED_BLOCKS", str(table))
+    orig = dm._TUNED
+    dm._TUNED = None
+    try:
+        assert dm._gp_blocks(1, kw, n_stored, layout="qsplit") == (
+            kw // 2, 128)
+        ref_w = dequantize(qt, "bfloat16")
+        for m in (1, 2):
+            x = jnp.asarray(rng.standard_normal((m, k)) * 0.1, jnp.bfloat16)
+            yr = jnp.matmul(x, ref_w, preferred_element_type=jnp.float32)
+            y = dm.dequant_matmul(x, qt)
+            np.testing.assert_allclose(
+                np.asarray(y, np.float32), np.asarray(yr, np.float32),
+                atol=1e-2, rtol=1e-2)
+    finally:
+        dm._TUNED = orig
+
+
+def test_qsplit_unpadded_group_count_falls_back():
+    """qsplit with a group count whose quarter is not 8-divisible
+    (e.g. 44 groups) cannot satisfy Mosaic's scale-block rule; the
+    dispatch must route to the exact jnp fallback instead of crashing
+    in lowering."""
+    import numpy as np
+
+    from mlc_llm_tpu.ops.pallas.dequant_matmul import (
+        dequant_matmul,
+        dequant_matmul_stacked,
+        qs_groups_blockable,
+    )
+    from mlc_llm_tpu.quant import dequantize, quantize
+
+    assert not qs_groups_blockable(344)  # 86 quarters, not 8-divisible
+    assert not qs_groups_blockable(44)
+    assert qs_groups_blockable(352)
+    rng = np.random.default_rng(9)
+    k, n = 44 * 32, 256
+    qt = quantize((rng.standard_normal((k, n)) * 0.05).astype(np.float32),
+                  "q4bf16_qs")  # NO pad_quantized_groups on purpose
+    ref = dequantize(qt, "bfloat16")
+    qts = jax.tree_util.tree_map(lambda a: jnp.stack([a, a], 0),
+                                 qt, is_leaf=lambda a: hasattr(a, "dtype"))
+    for m in (1, 16):
+        x = jnp.asarray(rng.standard_normal((m, k)) * 0.1, jnp.bfloat16)
+        yr = jnp.matmul(x, ref, preferred_element_type=jnp.float32)
+        for y in (dequant_matmul(x, qt),
+                  dequant_matmul_stacked(x, qts, jnp.int32(1))):
+            np.testing.assert_allclose(
+                np.asarray(y, np.float32), np.asarray(yr, np.float32),
+                atol=1e-2, rtol=1e-2)
+
+
+def test_qsplit_f16_compute_matches_jnp():
+    """q4f16_qs (float16 compute): the bit-assembled bf16 planes cast
+    to the compute dtype exactly (values 16..31 are exact in f16), so
+    the qsplit paths must stay within the usual kernel tolerance in
+    f16 as well."""
+    import numpy as np
+
+    from mlc_llm_tpu.ops.pallas.dequant_matmul import dequant_matmul
+    from mlc_llm_tpu.quant import dequantize, quantize, resolve_spec
+    from mlc_llm_tpu.quant.groupwise import pad_quantized_groups
+
+    assert resolve_spec("q4f16_qs").layout == "qsplit"
+    rng = np.random.default_rng(2)
+    qt = pad_quantized_groups(quantize(
+        (rng.standard_normal((512, 384)) * 0.05).astype(np.float32),
+        "q4f16_qs"))
+    ref = dequantize(qt, "float16")
+    for m in (1, 2, 16):
+        x = jnp.asarray(rng.standard_normal((m, 512)) * 0.1, jnp.float16)
+        yr = jnp.matmul(x, ref, preferred_element_type=jnp.float32)
+        y = dequant_matmul(x, qt)
+        np.testing.assert_allclose(
+            np.asarray(y, np.float32), np.asarray(yr, np.float32),
+            atol=2e-2, rtol=2e-2)

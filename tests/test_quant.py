@@ -163,7 +163,7 @@ def test_hsplit_rejects_odd_group_count():
     from mlc_llm_tpu.quant import quantize
 
     w = np.zeros((96, 128), np.float32)
-    with pytest.raises(ValueError, match="even group count"):
+    with pytest.raises(ValueError, match="divisible by 2"):
         quantize(w, "q4bf16_hs")
     # even group count is fine
     quantize(np.zeros((128, 128), np.float32), "q4bf16_hs")
@@ -192,3 +192,59 @@ def test_hsplit_checkpoint_spec_backcompat(tmp_path):
     tree, _ = load_params(str(tmp_path))
     assert tree["w"].spec.layout == "pair"
     assert dataclasses.asdict(tree["w"].spec)["layout"] == "pair"
+
+
+def test_qsplit_layout_decodes_identically():
+    """q4bf16_qs (quarter-split word packing, round 5) must decode to
+    EXACTLY the same dense weights as the pair and hsplit layouts —
+    only the element->nibble slot assignment differs. Covers the
+    group-padding repack (the qsplit mapping is global in k) and the
+    to-pair sharding repack."""
+    import numpy as np
+
+    from mlc_llm_tpu.quant import dequantize, quantize
+    from mlc_llm_tpu.quant.groupwise import (
+        pad_quantized_groups,
+        to_pair_layout,
+    )
+
+    rng = np.random.default_rng(0)
+    w = (rng.standard_normal((512, 384)) * 0.05).astype(np.float32)
+    qp = quantize(w, "q4bf16_pair")
+    qq = quantize(w, "q4bf16_qs")
+    assert qq.spec.layout == "qsplit"
+    assert np.array_equal(np.asarray(qp.scale), np.asarray(qq.scale))
+    assert np.array_equal(
+        np.asarray(dequantize(qp, "float32")),
+        np.asarray(dequantize(qq, "float32")),
+    )
+    # padded repack: decode must still match
+    qpp, qqp = pad_quantized_groups(qp), pad_quantized_groups(qq)
+    assert qqp.data.shape == qpp.data.shape
+    assert np.array_equal(
+        np.asarray(dequantize(qpp, "float32")),
+        np.asarray(dequantize(qqp, "float32")),
+    )
+    # sharding repack to pair order is exact
+    pr = to_pair_layout(qq)
+    assert pr.spec.layout == "pair"
+    assert np.array_equal(np.asarray(pr.data), np.asarray(qp.data))
+
+
+def test_qsplit_rejects_bad_group_count_and_downgrades():
+    """qsplit spreads each word over four quarters, so the group count
+    must divide by 4; quantize raises clearly, and spec_for_k
+    downgrades per tensor along qsplit -> hsplit -> pair."""
+    import numpy as np
+    import pytest
+
+    from mlc_llm_tpu.quant import quantize, resolve_spec
+    from mlc_llm_tpu.quant.spec import spec_for_k
+
+    qs = resolve_spec("q4bf16_qs")
+    with pytest.raises(ValueError, match="divisible by 4"):
+        quantize(np.zeros((64, 128), np.float32), qs)  # 2 groups
+    quantize(np.zeros((128, 128), np.float32), qs)  # 4 groups: fine
+    assert spec_for_k(qs, 128).layout == "qsplit"
+    assert spec_for_k(qs, 64).layout == "hsplit"   # 2 groups
+    assert spec_for_k(qs, 96).layout == "pair"     # 3 groups
