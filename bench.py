@@ -478,18 +478,52 @@ def _run():
                 _readback(out_tok)
                 return time.perf_counter() - t0
 
-            _t8(2)  # compile+warm both executables BEFORE any timed leg
+            # paged int8 KV: the engine's kv_layout="auto" route for
+            # batched int8 configs (the paged flash kernel dequantizes
+            # int8 IN the attention dots; the slot einsum materializes
+            # the dequantized window and loses — round-4 verdict #2)
+            paged_i8 = init_paged_kv_cache(
+                cfg, 8, num_pages=8 * ppsl + 1, page_size=ps,
+                max_pages_per_slot=ppsl, dtype=jnp.int8,
+            )
+            alloc_i8 = PageAllocator(paged_i8.num_pages)
+            table_i8 = np.zeros(paged_i8.page_table.shape, np.int32)
+            for b in range(8):
+                pg = alloc_i8.alloc(ppsl)
+                table_i8[b, : len(pg)] = pg
+            paged_i8 = dataclasses.replace(
+                paged_i8, page_table=jnp.asarray(table_i8))
+            logits_i8, paged_i8 = prefill(params, prompts8, lens8, paged_i8,
+                                          attn_window=context_len,
+                                          prefill_flash=True)
+            toki8 = jnp.argmax(logits_i8, -1).astype(jnp.int32)[:, None]
+
+            def _ti8(n):
+                nonlocal paged_i8, toki8
+                t0 = time.perf_counter()
+                out_tok, paged_i8 = decode_n(
+                    params, toki8, paged_i8, key, n, window=window
+                )
+                _readback(out_tok)
+                return time.perf_counter() - t0
+
+            _t8(2)  # compile+warm all executables BEFORE any timed leg
             _tp(2)
-            cands8, candsp, ratios = [], [], []
+            _ti8(2)
+            cands8, candsp, candsi, ratios = [], [], [], []
             for _ in range(2):
                 a8, b8 = _t8(n_short), _t8(n_long)
                 ap, bp = _tp(n_short), _tp(n_long)
+                ai, bi = _ti8(n_short), _ti8(n_long)
                 d8 = (b8 - a8) / (n_long - n_short)
                 dp = (bp - ap) / (n_long - n_short)
+                di = (bi - ai) / (n_long - n_short)
                 if d8 > 0:
                     cands8.append(d8)
                 if dp > 0:
                     candsp.append(dp)
+                if di > 0:
+                    candsi.append(di)
                 if d8 > 0 and dp > 0:
                     ratios.append(dp / d8)  # paged cost per step vs slot
             if cands8:
@@ -506,6 +540,12 @@ def _run():
             else:
                 result["paged_batch8_tok_s"] = None
                 result["paged_batch8_error"] = "all deltas non-positive"
+            if candsi:
+                result["batch8_int8kv_tok_s"] = round(8 / min(candsi), 2)
+                guard("batch8_int8kv_tok_s", result["batch8_int8kv_tok_s"],
+                      weight_bytes + 8 * kv_bytes_per_tok // 2, batch=8)
+            else:
+                result["batch8_int8kv_tok_s"] = None
             if ratios:
                 # interleaved same-process ratio: >1.0 means paged costs
                 # more per step; the PARITY gate is <= 1.10

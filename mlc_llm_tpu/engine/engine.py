@@ -67,9 +67,22 @@ class InferenceEngine:
         """kv_layout: "slot" = slot-contiguous [B, Smax] KV (small-batch
         fast path); "paged" = shared page pool + per-slot page tables
         (north-star layout: many concurrent mixed-length sequences
-        without B*Smax worst-case HBM). num_pages defaults to the
-        slot-equivalent capacity; size it smaller to oversubscribe
+        without B*Smax worst-case HBM); "auto" = paged for batched int8
+        KV, slot otherwise. The auto rule is measured, not stylistic:
+        the slot einsum path MATERIALIZES the dequantized int8 window
+        (int8 read + bf16 write + bf16 re-read beats reading bf16
+        directly — b8/w1024 int8 lost 461 vs 609 tok/s in round 4),
+        while the paged flash kernel dequantizes int8 IN the attention
+        dots at [ps] granularity, so batched int8 configs (north-star
+        config 4 at batch > 1) must run paged. num_pages defaults to
+        the slot-equivalent capacity; size it smaller to oversubscribe
         (admission then backpressures on free pages)."""
+        if kv_layout == "auto":
+            kv_layout = (
+                "paged"
+                if jnp.dtype(cache_dtype) == jnp.int8 and max_batch > 1
+                else "slot"
+            )
         self.cfg = cfg
         # zero-pad quantized k-groups to multiples of 32 so every matmul
         # (notably w_out, k=11008 -> 344 groups at 7B) gets the widest

@@ -261,8 +261,19 @@ def tune_shapes(shapes, quant="q4bf16", ms=(1,), verbose=True,
                 bkws = [kw]
                 for ks in (2, 4):
                     bkw_ = kw // ks
-                    if kw % ks == 0 and G_ % ks == 0 and bkw_ % 4 == 0:
-                        bkws.append(bkw_)
+                    if not (kw % ks == 0 and G_ % ks == 0 and bkw_ % 4 == 0):
+                        continue
+                    gt = G_ // ks
+                    # split-layout k-tiles must keep the per-plane scale
+                    # blocks Mosaic-blockable, or the kernel driver
+                    # silently falls back to full-k and the sweep would
+                    # measure a mislabeled candidate
+                    if spec.layout == "hsplit" and gt % 2 != 0:
+                        continue
+                    if spec.layout == "qsplit" and (
+                            gt % 4 != 0 or (gt // 4) % 8 != 0):
+                        continue
+                    bkws.append(bkw_)
                 mcands = [(bkw_, bn) for bkw_ in bkws
                           for bn in (1024, 512, 384, 256)
                           if n_stored % bn == 0]
