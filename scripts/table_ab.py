@@ -42,7 +42,7 @@ import numpy as np
 _STATE = {}
 
 
-def _setup(model: str, tiny: bool):
+def _setup(model: str, tiny: bool, quant: str = "q4bf16"):
     from mlc_llm_tpu.models import get_config, init_random_params
     from mlc_llm_tpu.quant.groupwise import QuantizedTensor as _QT
     from mlc_llm_tpu.quant.groupwise import pad_quantized_groups as _pad
@@ -50,7 +50,7 @@ def _setup(model: str, tiny: bool):
     cfg = get_config(model)
     if tiny:
         cfg = cfg.replace(num_layers=2, max_seq_len=256)
-    params = init_random_params(cfg, "q4bf16", seed=0, fabricate=True)
+    params = init_random_params(cfg, quant, seed=0, fabricate=True)
     params = jax.tree.map(
         lambda x: _pad(x) if isinstance(x, _QT) else x, params,
         is_leaf=lambda x: isinstance(x, _QT),
@@ -58,7 +58,7 @@ def _setup(model: str, tiny: bool):
     _STATE.update(cfg=cfg, params=params)
 
 
-def run_visit(table_path: str, n_short=8, n_long=72, tiny=False):
+def run_visit(table_path: str, n_short=8, n_long=72, tiny=False, batch=1):
     """One warmed visit: returns (per_step_seconds | None, warm_s)."""
     os.environ["MLC_TUNED_BLOCKS"] = table_path
     dm = importlib.import_module("mlc_llm_tpu.ops.pallas.dequant_matmul")
@@ -75,7 +75,8 @@ def run_visit(table_path: str, n_short=8, n_long=72, tiny=False):
     if tiny:
         n_short, n_long = 2, 6
     context_len = 128
-    cache = init_kv_cache(cfg, batch=1, max_len=min(cfg.max_seq_len, 2048))
+    cache = init_kv_cache(cfg, batch=batch,
+                          max_len=min(cfg.max_seq_len, 2048))
 
     @partial(jax.jit, donate_argnames=("cache",), static_argnames=("window",))
     def decode_n(params, tok, cache, key, n, window=None):
@@ -93,8 +94,8 @@ def run_visit(table_path: str, n_short=8, n_long=72, tiny=False):
     logits, cache = forward(
         params, cfg,
         jnp.asarray(np.random.default_rng(0).integers(
-            10, 1000, size=(1, context_len)), jnp.int32),
-        cache, seq_lens=jnp.full((1,), context_len, jnp.int32),
+            10, 1000, size=(batch, context_len)), jnp.int32),
+        cache, seq_lens=jnp.full((batch,), context_len, jnp.int32),
         last_only=True, attn_window=context_len)
     tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
     key = jax.random.PRNGKey(0)
@@ -125,27 +126,31 @@ def main():
                     help="interleaved visits per table")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--model", default="vicuna-v1-7b")
+    ap.add_argument("--quantization", default="q4bf16")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="decode batch (8 validates the m=8 entries)")
     args = ap.parse_args()
     assert len(args.tables) >= 2, "need at least two table files"
 
-    _setup(args.model, args.tiny)
+    _setup(args.model, args.tiny, args.quantization)
     deltas = {p: [] for p in args.tables}
     warms = {p: [] for p in args.tables}
     for v in range(args.visits):
         for path in args.tables:  # A, B, A, B, ...
-            d, w = run_visit(path, tiny=args.tiny)
+            d, w = run_visit(path, tiny=args.tiny, batch=args.batch)
             deltas[path].append(d)
             warms[path].append(round(w, 1))
             print(json.dumps({"visit": v, "table": path,
-                              "tok_s": round(1 / d, 2) if d else None,
+                              "tok_s": round(args.batch / d, 2) if d else None,
                               "warm_s": round(w, 1)}), flush=True)
     out = {}
     for path in args.tables:
         ds = [d for d in deltas[path] if d]
+        b = args.batch
         out[path] = {
-            "tok_s_best": round(1 / min(ds), 2) if ds else None,
-            "tok_s_median": round(1 / sorted(ds)[len(ds) // 2], 2) if ds else None,
-            "tok_s_per_visit": [round(1 / d, 2) if d else None
+            "tok_s_best": round(b / min(ds), 2) if ds else None,
+            "tok_s_median": round(b / sorted(ds)[len(ds) // 2], 2) if ds else None,
+            "tok_s_per_visit": [round(b / d, 2) if d else None
                                 for d in deltas[path]],
             "warm_s_per_visit": warms[path],
         }

@@ -108,6 +108,22 @@ def test_allocator():
 
 # ------------------------------------------------------- engine/scheduler
 
+def test_kv_layout_auto_rule():
+    """auto = paged only for batched int8 KV (the slot einsum
+    materializes the dequantized window and loses; the paged flash
+    kernel dequantizes in the attention dots — round-4 verdict item 2),
+    slot otherwise."""
+    from mlc_llm_tpu.engine import InferenceEngine
+
+    cfg = get_config("tiny-llama")
+    params = init_random_params(cfg, "f32", seed=0)
+    mk = lambda **kw: InferenceEngine(  # noqa: E731
+        cfg, params, max_seq_len=64, kv_layout="auto", page_size=8, **kw)
+    assert mk(max_batch=2, cache_dtype="int8").kv_layout == "paged"
+    assert mk(max_batch=1, cache_dtype="int8").kv_layout == "slot"
+    assert mk(max_batch=2).kv_layout == "slot"
+
+
 def test_paged_engine_matches_slot_engine():
     from mlc_llm_tpu.engine import GenerationConfig, InferenceEngine
 

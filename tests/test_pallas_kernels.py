@@ -409,21 +409,23 @@ def test_hsplit_unpadded_group_count_falls_back():
 
 
 def test_hsplit_f16_compute_matches_jnp():
-    """q4f16 (float16 compute) also defaults to the hsplit layout; the
-    gp raw-activation path must stay exact without the bf16-only
-    raw_x bitcast (hsplit takes the raw [M, K] activation in ANY
-    compute dtype)."""
+    """q4f16_hs (float16 compute, half-split layout — the round-4
+    default, now the pinned alias): the gp raw-activation path must
+    stay exact without the bf16-only raw_x bitcast (hsplit takes the
+    raw [M, K] activation in ANY compute dtype). The q4f16 default is
+    quarter-split since round 5 (covered by the qsplit f16 test)."""
     import numpy as np
 
     from mlc_llm_tpu.ops.pallas.dequant_matmul import dequant_matmul
     from mlc_llm_tpu.quant import dequantize, quantize, resolve_spec
     from mlc_llm_tpu.quant.groupwise import pad_quantized_groups
 
-    assert resolve_spec("q4f16").layout == "hsplit"
+    assert resolve_spec("q4f16").layout == "qsplit"
+    assert resolve_spec("q4f16_hs").layout == "hsplit"
     rng = np.random.default_rng(2)
     qt = pad_quantized_groups(quantize(
         (rng.standard_normal((512, 384)) * 0.05).astype(np.float32),
-        "q4f16"))
+        "q4f16_hs"))
     ref = dequantize(qt, "float16")
     for m in (1, 2, 16):
         x = jnp.asarray(rng.standard_normal((m, 512)) * 0.1, jnp.float16)

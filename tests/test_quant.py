@@ -96,8 +96,12 @@ def test_fp4_code_values():
 
 
 def test_take_dequantize_matches_full_decode():
-    spec = resolve_spec("q4bf16")
+    # k=64 -> 2 groups: the qsplit default can't split into quarters,
+    # so resolve the per-shape layout the way the loaders do
+    from mlc_llm_tpu.quant.spec import spec_for_k
+
     vocab, hidden = 96, 64
+    spec = spec_for_k(resolve_spec("q4bf16"), hidden)
     emb = _rand(hidden, vocab, seed=3)  # stored transposed [hidden, vocab]
     qt = quantize(emb, spec)
     ids = jnp.array([[0, 5, 95], [7, 7, 1]], dtype=jnp.int32)
@@ -180,7 +184,8 @@ def test_hsplit_checkpoint_spec_backcompat(tmp_path):
     from mlc_llm_tpu.quant import quantize
     from mlc_llm_tpu.utils.checkpoint import load_params, save_params
 
-    w = (np.random.default_rng(0).standard_normal((64, 128)) * 0.05
+    # k=128 -> 4 groups (the qsplit default needs a 4-divisible count)
+    w = (np.random.default_rng(0).standard_normal((128, 128)) * 0.05
          ).astype(np.float32)
     qt = quantize(w, "q4bf16")
     save_params({"w": qt}, str(tmp_path), meta={})

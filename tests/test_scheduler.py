@@ -629,6 +629,48 @@ def test_multi_step_outputs_identical():
         base = run()
         assert run(multi_step=4) == base
         assert run(multi_step=3, ahead=2) == base
+        # adaptive mode must emit the same streams as single-step too —
+        # it only changes WHEN tokens arrive, never which tokens
+        assert run(multi_step="auto:4") == base
+        assert run(multi_step="auto", ahead=2) == base
+
+
+def test_adaptive_multi_step_choose_k():
+    """auto mode: single-step when sparse, full K under backlog,
+    power-of-two partial K at high occupancy (round-4 verdict item 4)."""
+    from mlc_llm_tpu.engine import GenerationConfig, InferenceEngine
+    from mlc_llm_tpu.engine.scheduler import ContinuousBatchingScheduler
+    from mlc_llm_tpu.models import get_config, init_random_params
+
+    cfg = get_config("tiny-llama")
+    params = init_random_params(cfg, "f32", seed=0)
+    eng = InferenceEngine(cfg, params, max_batch=4, max_seq_len=64)
+    s = ContinuousBatchingScheduler(eng, multi_step="auto:8")
+    assert s.adaptive_multi_step and s.multi_step == 8
+    gen = GenerationConfig(max_new_tokens=4, temperature=0.0)
+
+    # 1/4 occupancy: no block decode
+    s.submit([3, 4, 5], gen)
+    s._admit()
+    assert s._choose_k() is None
+    # full occupancy, nothing pending: partial K = 8*4//4 = 8
+    for p in ([6, 7], [8, 9], [10, 11]):
+        s.submit(p, gen)
+    s._admit()
+    assert s._choose_k() == 8
+    # backlog beyond the slots: full K
+    s.submit([12, 13], gen)
+    s._admit()
+    assert s.pending and s._choose_k() == 8
+    s.run()
+
+    # 3/4 occupancy: K scales down to the next power of two (8*3//4=6->4)
+    s2 = ContinuousBatchingScheduler(eng, multi_step="auto:8")
+    for p in ([3, 4], [5, 6], [7, 8]):
+        s2.submit(p, gen)
+    s2._admit()
+    assert s2._choose_k() == 4
+    s2.run()
 
 
 def test_multi_step_respects_window_edge():

@@ -96,15 +96,16 @@ def test_sharded_params_gates_pallas_routing(monkeypatch):
 
     ops.set_sharded_params(False)
     mesh = make_mesh(tp=4, dp=2)
+    # k=128 -> 4 groups (the qsplit default needs a 4-divisible count)
     w = quantize(_np.random.default_rng(0)
-                 .standard_normal((64, 256)).astype(_np.float32), "q4bf16")
+                 .standard_normal((128, 256)).astype(_np.float32), "q4bf16")
     try:
         shard_params({"layers/wqkv": w}, mesh)
         assert ops.sharded_params()
         # auto mode now routes to jnp even when the backend looks like a
         # TPU (where the un-partitionable pallas path would be chosen)
         monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
-        y = qmatmul(jnp.ones((1, 64), jnp.bfloat16), w)
+        y = qmatmul(jnp.ones((1, 128), jnp.bfloat16), w)
         assert y.shape == (1, 256)
     finally:
         ops.set_sharded_params(False)

@@ -264,16 +264,16 @@ def test_tune_stacked_protocol_and_cands_override():
     from mlc_llm_tpu.tune import tune_shapes
 
     table = tune_shapes(
-        [(256, 256)], "q4bf16", ms=(1,), verbose=False,
-        stacked=True, cands_override=[(64, 256), (32, 256)],
+        [(1024, 256)], "q4bf16", ms=(1,), verbose=False,
+        stacked=True, cands_override=[(128, 256), (32, 256)],
     )
     assert table, "stacked sweep produced no entries"
     (key, entry), = table.items()
-    # q4bf16 defaults to the hsplit layout since round 4, which tunes
-    # under its own key namespace (never overwrites pair picks)
-    assert key.startswith("gph:1:"), key
+    # q4bf16 defaults to the qsplit layout since round 5, which tunes
+    # under its own key namespace (never overwrites pair/hsplit picks)
+    assert key.startswith("gpq:1:"), key
     assert entry["stacked"] is True
-    assert tuple(entry["blocks"]) in {(64, 256), (32, 256)}
+    assert tuple(entry["blocks"]) in {(128, 256), (32, 256)}
     # runner_up must also come from the override list (nothing else ran)
     if entry["runner_up"] is not None:
-        assert tuple(entry["runner_up"]) in {(64, 256), (32, 256)}
+        assert tuple(entry["runner_up"]) in {(128, 256), (32, 256)}
