@@ -26,6 +26,13 @@ HBM_BW = 819e9
 HEADLINE_METRIC = "decode_tok_s_vicuna7b_q4bf16_b1"
 
 
+def _progress(section: str) -> None:
+    # stderr breadcrumb: a timeout-killed run (the final JSON prints only
+    # at the end) still leaves evidence of which section it died in
+    print(f"[bench {time.strftime('%H:%M:%S')}] section: {section}",
+          file=sys.stderr, flush=True)
+
+
 def _fail_json(error: str, detail: str = "") -> None:
     """Always print a parseable one-line JSON, even when the backend is dead.
 
@@ -219,6 +226,7 @@ def _run():
     seq_lens = jnp.full((1,), context_len, jnp.int32)
 
     # --- TTFT: prefill + first sampled token, RTT-corrected ----------------
+    _progress("ttft")
     logits, cache = prefill(params, prompt, seq_lens, cache,
                             attn_window=context_len,
                             prefill_flash=True)  # compile
@@ -259,6 +267,7 @@ def _run():
                 break
 
     # --- decode throughput: long-minus-short on-device scans ---------------
+    _progress("decode_b1")
     key = jax.random.PRNGKey(0)
     tok = first[:, None]
 
@@ -340,6 +349,7 @@ def _run():
     guard("value", tok_s, bytes_per_token)
 
     # --- q3 + int8 KV decode (north-star config 4, single-chip cut) --------
+    _progress("q3_int8kv")
     # (the 8-chip tensor-sharded variant of this config is exercised by
     # the multi-chip dryrun; one chip is what exists here)
     if not on_cpu:
@@ -415,6 +425,7 @@ def _run():
         cache = init_kv_cache(cfg, batch=1, max_len=max_len)
 
     # --- 8-way continuous-batching decode: slot-contiguous vs paged KV -----
+    _progress("batch8")
     # (north-star config 3 + "paged KV-cache"). The two cache layouts
     # are timed with INTERLEAVED legs (slot, paged, slot, paged) in this
     # one process, so the paged/slot ratio — the ≤1.10 gate — is read
@@ -553,6 +564,7 @@ def _run():
         except Exception as e:
             result["paged_batch8_error"] = f"{type(e).__name__}: {e}"[:120]
     # --- serving latency percentiles (BASELINE.md "p50 TTFT tracked") ------
+    _progress("serving")
     # One Poisson load point through the continuous-batching scheduler
     # (adaptive multi-step), so the driver artifact itself carries
     # serving percentiles instead of builder-session logs (round-4
@@ -573,6 +585,12 @@ def _run():
             eng = InferenceEngine(cfg, params, max_batch=8, max_seq_len=512)
             sched = ContinuousBatchingScheduler(
                 eng, decode_ahead=4, multi_step="auto")
+            # warm every adaptive-K block program OUTSIDE the timed
+            # window (a mid-window Mosaic compile otherwise lands in
+            # every queued request's TTFT; persistent cache makes this
+            # cheap on later sessions)
+            from mlc_llm_tpu.serve import multi_step_compile_ks
+            eng.precompile(multi_step=multi_step_compile_ks("auto"))
             rng_s = np.random.default_rng(3)
             gen_s = GenerationConfig(
                 max_new_tokens=32, temperature=0.7, top_p=0.95, seed=7)

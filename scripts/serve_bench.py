@@ -97,8 +97,17 @@ def main():
         float(triv(jnp.float32(i)))
     rtt_ms = (time.perf_counter() - t0) / 3 * 1e3
 
-    # warm: compile the prefill bucket + batched decode program with a
-    # full batch BEFORE any timed load point
+    # warm: AOT-compile every program the load points can hit BEFORE any
+    # timed window. The warm batch alone is not enough under adaptive
+    # multi-step: 8 equal-length requests exercise only K=max and K=1,
+    # and the first occupancy-6 dispatch mid-measurement then pays a
+    # multi-second Mosaic compile for K=4 that every queued request's
+    # TTFT inherits (observed: p99 10.2 s at 2 rps, tpu_logs/
+    # serve_r5_auto.log round 5).
+    from mlc_llm_tpu.serve import multi_step_compile_ks
+    ms_ks = multi_step_compile_ks(args.multi_step)
+    if ms_ks:
+        eng.precompile(multi_step=ms_ks)
     warm = [sched.submit(mk_prompt(), gen) for _ in range(8)]
     sched.run()
     assert all(r.done for r in warm)

@@ -41,7 +41,9 @@ chunk1)
   # 1) headline driver-protocol bench (q4bf16 now defaults to qsplit +
   #    gpq tuned entries; also captures the new serving-percentile and
   #    batch8-int8kv sections)
-  step bench_r5a 2700 python bench.py
+  # 5400s: a cold persistent compile cache costs ~25 min of Mosaic
+  # recompiles on top of the ~20 min of measurements
+  step bench_r5a 5400 python bench.py
   # 2) step decomposition under the qsplit kernels: where the remaining
   #    ms/step sits (feeds the next perf lever)
   step profile_r5 2400 python scripts/profile_decode.py
@@ -49,11 +51,11 @@ chunk1)
   #    per mode. Done-criteria (VERDICT #3/#4): auto p50 TTFT @2rps
   #    within 10% of single-step AND auto saturated within 10% of K=8;
   #    saturated >= 500 tok/s or transport-floor evidence.
-  step serve_r5_auto 2700 python scripts/serve_bench.py \
+  step serve_r5_auto 3600 python scripts/serve_bench.py \
     --multi-step auto:8 --ahead 2 --rates 2 8 64
-  step serve_r5_ms8 1800 python scripts/serve_bench.py \
+  step serve_r5_ms8 2700 python scripts/serve_bench.py \
     --multi-step 8 --ahead 2 --rates 64
-  step serve_r5_single 1800 python scripts/serve_bench.py \
+  step serve_r5_single 2700 python scripts/serve_bench.py \
     --ahead 2 --rates 2
   ;;
 chunk2)
@@ -66,7 +68,7 @@ chunk2)
     --quantization q3bf16_s16 --m 1 --m 8 --stacked
   step tune_3b_r5 4800 python -m mlc_llm_tpu.tune \
     --model RedPajama-INCITE-Chat-3B-v1 --m 1 --stacked
-  step bench_r5b 2700 python bench.py
+  step bench_r5b 5400 python bench.py
   ;;
 chunk3)
   # instruments: qsplit-era per-shape ceilings (updated step floor),
