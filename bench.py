@@ -584,7 +584,7 @@ def _run():
             logits8 = logits_p = None  # noqa: F841
             eng = InferenceEngine(cfg, params, max_batch=8, max_seq_len=512)
             sched = ContinuousBatchingScheduler(
-                eng, decode_ahead=4, multi_step="auto")
+                eng, decode_ahead=2, multi_step="auto")
             # warm every adaptive-K block program OUTSIDE the timed
             # window (a mid-window Mosaic compile otherwise lands in
             # every queued request's TTFT; persistent cache makes this
@@ -638,7 +638,7 @@ def _run():
             result["serve_load"] = {
                 "rps": lam, "n": n_req, "prompt_len": 128,
                 "max_new_tokens": 32, "multi_step": "auto",
-                "decode_ahead": 4, "completed": sum(r.done for r in reqs),
+                "decode_ahead": 2, "completed": sum(r.done for r in reqs),
             }
             del eng, sched
         except Exception as e:

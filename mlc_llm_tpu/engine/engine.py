@@ -283,6 +283,74 @@ class InferenceEngine:
             )
 
         @partial(jax.jit, donate_argnames=("cache",),
+                 static_argnames=("attn_window", "prefill_flash", "group"))
+        def _prefill_slots(params, tokens, seq_lens, cache, slots,
+                           attn_window=None, prefill_flash=False, group=2):
+            """Prefill GROUP fresh slots in ONE dispatch (tokens [G, S],
+            seq_lens/slots [G]; fresh admissions only — every row starts
+            at position 0).
+
+            Saturated serving admits each request through its own
+            _prefill_slot dispatch, and every one of those re-streams
+            the full weight set (~4.3 GB at 7B) for a single row of
+            activations — ~35 ms x 32 admissions was ~0.8 s of the
+            3.5 s saturated wall (round 5). One forward over a [G, S]
+            batch reads the weights once for all G admissions; the
+            per-row KV (bucket-sized scratch, not a full-Smax clone) is
+            then spliced into each row's slot. The reference has no
+            admission path at all (hard batch-1, llm_chat.cc:645-685).
+            """
+            S = tokens.shape[1]
+
+            def scratch(arr, s_axis):
+                if arr is None:
+                    return None
+                shape = list(arr.shape)
+                shape[1] = group
+                shape[s_axis] = S
+                return jnp.zeros(tuple(shape), arr.dtype)
+
+            sub = KVCache(
+                k=scratch(cache.k, 3),          # [L, G, H, S, D]
+                v=scratch(cache.v, 4),          # [L, G, H, D, S]
+                lengths=jnp.zeros((group,), jnp.int32),
+                k_scale=scratch(cache.k_scale, 3),
+                v_scale=scratch(cache.v_scale, 3),
+            )
+            logits, sub = forward(
+                params, cfg_static, tokens, sub,
+                seq_lens=seq_lens, last_only=True,
+                attn_window=attn_window, prefill_flash=prefill_flash,
+            )
+
+            def splice(dst, src):
+                # row g -> block update at (slot_g, position 0); S <=
+                # Smax always holds (S is a prefill bucket <= max_seq_len)
+                if dst is None:
+                    return None
+                zero = jnp.zeros((), jnp.int32)
+                for g in range(group):
+                    row = jax.lax.dynamic_slice_in_dim(src, g, 1, axis=1)
+                    starts = (zero, slots[g]) + (zero,) * (dst.ndim - 2)
+                    dst = jax.lax.dynamic_update_slice(dst, row, starts)
+                return dst
+
+            lengths = cache.lengths
+            for g in range(group):
+                lengths = jax.lax.dynamic_update_slice_in_dim(
+                    lengths,
+                    jax.lax.dynamic_slice_in_dim(sub.lengths, g, 1, axis=0),
+                    slots[g], axis=0,
+                )
+            return logits, KVCache(
+                k=splice(cache.k, sub.k),
+                v=splice(cache.v, sub.v),
+                lengths=lengths,
+                k_scale=splice(cache.k_scale, sub.k_scale),
+                v_scale=splice(cache.v_scale, sub.v_scale),
+            )
+
+        @partial(jax.jit, donate_argnames=("cache",),
                  static_argnames=("attn_window",))
         def _prefill_slot_paged(params, tokens, seq_len, cache, slot,
                                 append=False, attn_window=None):
@@ -359,6 +427,9 @@ class InferenceEngine:
         )
         # the underlying jitted program (the paged entry above is a plain
         # wrapper with no .lower) — debug/dump.py lowers this directly
+        # grouped admission prefill: slot layout only (the paged path
+        # has per-request page tables; its admissions stay single)
+        self._prefill_slots = _prefill_slots if kv_layout != "paged" else None
         self._prefill_slot_jit = (
             _prefill_slot_paged if kv_layout == "paged" else _prefill_slot
         )
@@ -437,6 +508,20 @@ class InferenceEngine:
                 **slot_kwargs,
             ).compile()
             n += 1
+            if self._prefill_slots is not None:
+                # grouped admission programs (scheduler rounds group
+                # size down to a power of two <= max_batch)
+                g = 2
+                while g <= B:
+                    note(f"grouped slot prefill bucket {b} (G={g})")
+                    self._prefill_slots.lower(
+                        params_a, jax.ShapeDtypeStruct((g, b), i32),
+                        jax.ShapeDtypeStruct((g,), i32), cache_a,
+                        jax.ShapeDtypeStruct((g,), i32),
+                        attn_window=w, prefill_flash=True, group=g,
+                    ).compile()
+                    n += 1
+                    g *= 2
         for w in windows:
             # two temperature/top_p layouts exist at runtime: scalar
             # (generate_stream) and per-slot [B] (the continuous-batching

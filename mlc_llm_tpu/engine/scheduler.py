@@ -253,8 +253,101 @@ class ContinuousBatchingScheduler:
             and s not in self._reserved
         ]
 
+    def _admit_group(self) -> None:
+        """Admit a FIFO prefix of groupable fresh requests through ONE
+        grouped prefill dispatch (engine._prefill_slots).
+
+        A single-slot admission streams the full weight set for one row
+        of activations; under saturation (32 back-to-back arrivals)
+        that was ~0.8 s of the 3.5 s serving wall (round 5). A group of
+        G shares one weight read. Groupable = transient (no pin/append),
+        slot KV layout, whole-prompt (not chunked), same padded bucket,
+        same static top_k. The scan stops at the first non-groupable
+        request so admission ORDER is preserved; group size rounds down
+        to a power of two (each G is its own precompiled program) and
+        the overflow returns to the queue head."""
+        eng = self.engine
+        if getattr(eng, "_prefill_slots", None) is None:
+            return
+        if eng.prefix_cache is not None:
+            # prefix adoption/registration is single-path bookkeeping
+            return
+        if len(self.pending) < 2:
+            return
+        free = deque(self._free_slots())
+        group: List[tuple] = []
+        bucket = top_k = None
+        while self.pending and free and len(group) < len(self.slots):
+            req = self.pending[0]
+            if req.pin_slot is not None or req.append or req.start_len:
+                break
+            # clamp exactly like _admit_one (start_len == 0 here)
+            prompt = req.prompt
+            limit = eng.max_seq_len
+            if len(prompt) >= limit:
+                keep = max(1, limit - req.gen.max_new_tokens - 1)
+                prompt = prompt[-keep:]
+            if (self.prefill_chunk is not None
+                    and len(prompt) > self.prefill_chunk):
+                break  # chunked admission stays on the single path
+            fit = max((b for b in eng.buckets if b <= limit), default=None)
+            if fit is None:
+                break
+            if len(prompt) > fit:
+                prompt = prompt[-fit:]
+            b = eng.bucket_for(len(prompt))
+            if bucket is None:
+                bucket, top_k = b, req.gen.top_k
+            elif b != bucket or req.gen.top_k != top_k:
+                break
+            req.prompt = prompt
+            self.pending.popleft()
+            group.append((req, free.popleft()))
+        if len(group) < 2:
+            for req, _ in reversed(group):
+                self.pending.appendleft(req)
+            return
+        G = 1 << (len(group).bit_length() - 1)
+        for req, _ in reversed(group[G:]):
+            self.pending.appendleft(req)
+        group = group[:G]
+        toks = np.zeros((G, bucket), np.int32)
+        lens = np.zeros((G,), np.int32)
+        temps = np.zeros((G,), np.float32)
+        topps = np.zeros((G,), np.float32)
+        seeds = np.zeros((G,), np.uint32)
+        slots = np.zeros((G,), np.int32)
+        for g, (req, slot) in enumerate(group):
+            toks[g, : len(req.prompt)] = req.prompt
+            lens[g] = len(req.prompt)
+            temps[g] = req.gen.temperature
+            topps[g] = req.gen.top_p
+            seeds[g] = req.seed
+            slots[g] = slot
+            req.slot = slot
+        t0 = time.perf_counter()
+        logits, eng.cache = eng._prefill_slots(
+            eng.params, jnp.asarray(toks), jnp.asarray(lens), eng.cache,
+            jnp.asarray(slots),
+            attn_window=eng.decode_window(bucket), prefill_flash=True,
+            group=G,
+        )
+        # same per-request draw as the single path: fold_in(seed, 0),
+        # identical temperature/top_p/top_k per row
+        firsts = eng._sample_perslot(
+            logits, jnp.asarray(seeds), jnp.zeros((G,), jnp.int32),
+            jnp.asarray(temps), jnp.asarray(topps), top_k=top_k,
+        )
+        eng.stats.prefill_time += time.perf_counter() - t0
+        eng.stats.prefill_tokens += int(lens.sum())
+        for g, (req, slot) in enumerate(group):
+            req.sampled = 1
+            self.active[slot] = req
+            self._first_token[slot] = firsts[g : g + 1]
+
     def _admit(self) -> None:
         eng = self.engine
+        self._admit_group()
         free = deque(self._free_slots())
         deferred: List[Request] = []
         blocked = False  # a transient hit page backpressure this round
@@ -768,8 +861,23 @@ class ContinuousBatchingScheduler:
         """Read back one (or all) pending decode results. Tokens are
         matched by (slot, request-id) so a slot recycled mid-lag never
         delivers a stale token to its new occupant."""
+        def _landed(x) -> bool:
+            # opportunistic drain: the head's device->host copy (started
+            # async at dispatch) already landed, so emitting it costs no
+            # sync and cuts token/TTFT latency by up to `ahead` dispatch
+            # intervals — the depth rule alone made a first token wait
+            # for ahead+1 LATER dispatches even when its bytes were
+            # already on the host (p50 TTFT 1161 ms in the r5a bench
+            # serving section at ahead=4)
+            try:
+                return x.is_ready()
+            except AttributeError:
+                return False
+
         while self._pending_tokens and (
-            all_remaining or len(self._pending_tokens) > self.decode_ahead
+            all_remaining
+            or len(self._pending_tokens) > self.decode_ahead
+            or _landed(self._pending_tokens[0])
         ):
             toks = np.asarray(self._pending_tokens.popleft())
             owners = self._pending_slots.popleft()

@@ -690,3 +690,62 @@ def test_multi_step_respects_window_edge():
     assert r.done
     # window-limited: 20 + len(output) stays inside max_seq_len
     assert 20 + len(r.output) <= 32
+
+
+def test_grouped_admission_engages_and_matches_solo(engine):
+    """A burst of same-bucket fresh requests admits through ONE grouped
+    prefill dispatch (engine._prefill_slots) and produces exactly the
+    single-admission token streams (round-5 serving lever)."""
+    sched = ContinuousBatchingScheduler(engine)
+    calls = []
+    orig = engine._prefill_slots
+    assert orig is not None  # slot layout exposes the grouped program
+
+    def spy(params, toks, lens, cache, slots, **kw):
+        calls.append(kw["group"])
+        return orig(params, toks, lens, cache, slots, **kw)
+
+    engine._prefill_slots = spy
+    try:
+        prompts = [[i + 1, i + 2, i + 3] for i in range(4)]
+        reqs = [sched.submit(p, _greedy(5)) for p in prompts]
+        sched.run()
+    finally:
+        engine._prefill_slots = orig
+    assert calls == [4]  # one dispatch, group of 4
+    assert all(r.done for r in reqs)
+    for p, r in zip(prompts, reqs):
+        assert r.output == engine.generate([p], _greedy(5))[0]
+
+
+def test_grouped_admission_sampled_seed_parity(engine):
+    """Sampled requests: the grouped first-token draw must equal the
+    single-path draw (same fold_in(seed, 0) key, temp, top_p, top_k)."""
+    gen = lambda seed: GenerationConfig(  # noqa: E731
+        max_new_tokens=6, temperature=0.8, top_p=0.9, seed=seed)
+    # grouped: both submitted before any step
+    s1 = ContinuousBatchingScheduler(engine)
+    a1 = s1.submit([5, 6, 7], gen(11))
+    b1 = s1.submit([9, 8, 7], gen(22))
+    s1.run()
+    # single path: submitted one step apart (group scan needs >= 2)
+    s2 = ContinuousBatchingScheduler(engine)
+    a2 = s2.submit([5, 6, 7], gen(11))
+    s2.step()
+    b2 = s2.submit([9, 8, 7], gen(22))
+    s2.run()
+    assert a1.output == a2.output
+    assert b1.output == b2.output
+
+
+def test_grouped_admission_mixed_buckets_fall_back(engine):
+    """Different padded buckets stop the group scan; everything still
+    admits correctly through the single path."""
+    sched = ContinuousBatchingScheduler(engine)
+    small = sched.submit([1, 2], _greedy(4))           # bucket A
+    big = sched.submit(list(range(1, 30)), _greedy(4))  # bucket B
+    sched.run()
+    assert small.done and big.done
+    assert small.output == engine.generate([[1, 2]], _greedy(4))[0]
+    assert big.output == engine.generate([list(range(1, 30))],
+                                         _greedy(4))[0]
