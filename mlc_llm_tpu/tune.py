@@ -201,7 +201,7 @@ def _implied_gbps(qt, t: float) -> float:
 
 def tune_shapes(shapes, quant="q4bf16", ms=(1,), verbose=True,
                 validate: bool = True, stacked: bool = False,
-                cands_override=None):
+                cands_override=None, checkpoint_path=None):
     """shapes: [(k, n)]; returns {key: entry} best blocks.
 
     Entries carry provenance: {"blocks": [bkw, bn], "gbps": float,
@@ -357,6 +357,22 @@ def tune_shapes(shapes, quant="q4bf16", ms=(1,), verbose=True,
             }
             if stacked:
                 table[key]["stacked"] = True
+            if checkpoint_path:
+                # persist after EVERY entry: a sweep killed by its
+                # timeout (each tunnel probe costs ~a minute of compile)
+                # keeps everything it measured
+                merged = {}
+                if os.path.exists(checkpoint_path):
+                    try:
+                        with open(checkpoint_path) as f:
+                            merged = json.load(f)
+                    except Exception:
+                        merged = {}
+                merged.update(table)
+                tmp = checkpoint_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(merged, f, indent=1, sort_keys=True)
+                os.replace(tmp, checkpoint_path)
     return table
 
 
@@ -390,7 +406,7 @@ def main(argv=None):
     cfg = get_config(args.model)
     ms = tuple(args.m) if args.m else (1,)
     table = tune_shapes(model_shapes(cfg), args.quantization, ms,
-                        stacked=args.stacked)
+                        stacked=args.stacked, checkpoint_path=args.out)
     existing = {}
     if os.path.exists(args.out):
         with open(args.out) as f:
