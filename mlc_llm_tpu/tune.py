@@ -96,7 +96,7 @@ def _bench_variant(qt, m: int, bkw: int, bn: int, steps=(16, 112)) -> float:
 
 
 def _bench_variant_stacked(qts, m: int, bkw: int, bn: int,
-                           steps=(64, 1088)) -> float:
+                           steps=None) -> float:
     """Per-call seconds for one block config, measured through the
     layer-STACKED kernel cycling over L stacked layers.
 
@@ -121,6 +121,17 @@ def _bench_variant_stacked(qts, m: int, bkw: int, bn: int,
 
     L = qts.data.shape[0]
     k = qts.shape[0]
+    if steps is None:
+        # size the long-minus-short delta to >= ~100 ms of device time:
+        # the fixed (64, 1088) default was calibrated on 7B shapes
+        # (~35-70 ms); on 3B shapes the per-call time is 3-10x shorter
+        # and the delta drowned in the tunnel's ~25 ms RTT jitter —
+        # every small-shape candidate read an impossible 1.2-4 TB/s
+        # (tpu_logs/tune_3b_r5.log round 5)
+        per_layer = qts.nbytes() // max(L, 1)
+        est_percall = per_layer / 500e9  # pessimistic ~500 GB/s
+        n_extra = max(1024, min(16384, int(0.1 / max(est_percall, 1e-9))))
+        steps = (64, 64 + n_extra)
 
     @jax.jit
     def loop(x, n):
@@ -230,8 +241,12 @@ def tune_shapes(shapes, quant="q4bf16", ms=(1,), verbose=True,
         qts = None
         if stacked:
             # enough layers that the cycled working set can't pin in
-            # VMEM (>= ~160 MB), capped so huge shapes stay affordable
-            L = max(2, min(16, -(-160 * 1024 * 1024 // qt.nbytes())))
+            # VMEM (>= ~160 MB), capped so huge shapes stay affordable.
+            # Cap 64 not 16: a 3.3 MB shape (3B wo) stacked x16 is only
+            # 53 MB and every candidate read implausible >1 TB/s
+            # (tpu_logs/tune_3b_r5.log) — small shapes need the full
+            # 160 MB working set
+            L = max(2, min(64, -(-160 * 1024 * 1024 // qt.nbytes())))
             qts = _stack_quantized(qt, L)
             if verbose:
                 print(f"  [stacked x{L} = {qts.data.nbytes/1e6:.0f} MB "
