@@ -514,13 +514,30 @@ class InferenceEngine:
                 g = 2
                 while g <= B:
                     note(f"grouped slot prefill bucket {b} (G={g})")
-                    self._prefill_slots.lower(
+                    gargs = (
                         params_a, jax.ShapeDtypeStruct((g, b), i32),
                         jax.ShapeDtypeStruct((g,), i32), cache_a,
                         jax.ShapeDtypeStruct((g,), i32),
-                        attn_window=w, prefill_flash=True, group=g,
-                    ).compile()
+                    )
+                    gkw = dict(attn_window=w, prefill_flash=True, group=g)
+                    self._prefill_slots.lower(*gargs, **gkw).compile()
                     n += 1
+                    if b == self.buckets[0]:
+                        # grouped first-token sampler ([G, V] logits):
+                        # left cold, the first G-clump admission pays a
+                        # mid-serving compile (observed as a 10 s TTFT
+                        # spike at 2 rps, tpu_logs/serve_group_r5.log)
+                        log_a = jax.eval_shape(
+                            self._prefill_slots, *gargs, **gkw)[0]
+                        note(f"grouped first-token sampler (G={g})")
+                        self._sample_perslot.lower(
+                            log_a,
+                            jax.ShapeDtypeStruct((g,), jnp.uint32),
+                            jax.ShapeDtypeStruct((g,), i32),
+                            jax.ShapeDtypeStruct((g,), jnp.float32),
+                            jax.ShapeDtypeStruct((g,), jnp.float32),
+                        ).compile()
+                        n += 1
                     g *= 2
         for w in windows:
             # two temperature/top_p layouts exist at runtime: scalar

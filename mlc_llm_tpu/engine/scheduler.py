@@ -181,6 +181,10 @@ class ContinuousBatchingScheduler:
         self._seed_rng = np.random.default_rng(seed)
         self._reserved: set = set()  # slots pinned to sessions
         self._pending_tokens: Deque[jax.Array] = deque()
+        # decode rows per pending entry (K for a [K, B] block, 1 for a
+        # single step, 0 for a first-token entry): the dispatch-budget
+        # cap below sums this to know how many rows are in flight
+        self._pending_rows: Deque[int] = deque()
         self._pending_slots: Deque[List[int]] = deque()
         self._first_token: Dict[int, int] = {}  # slot -> prefill-sampled token
 
@@ -756,6 +760,7 @@ class ContinuousBatchingScheduler:
             pass
         self._pending_tokens.append(nxt)
         self._pending_slots.append(owners)
+        self._pending_rows.append(k_steps or 1)
         self._cur_tokens = last[:, None]
 
     def step(self) -> None:
@@ -780,7 +785,37 @@ class ContinuousBatchingScheduler:
             self.engine.stats.decode_time += time.perf_counter() - t0
             return
         k = self._choose_k()
+        # dispatch budget: a length-capped request can only use
+        # max_new_tokens - emitted - in-flight more rows. Without this
+        # cap, `ahead` K-step blocks keep dispatching FULLY WASTED rows
+        # while a synchronized wave of requests finishes (at b8/K=8
+        # saturation: ~2 dead blocks per admission wave, ~15% of the
+        # serving wall). Stop-token finishes stay unpredictable — this
+        # only prunes work that no surviving request can ever use.
+        inflight = sum(self._pending_rows)
+        # session (pinned/append) requests get +1: the final sampled
+        # token's KV row is only written when it is fed back once, and
+        # the NEXT append turn's attention must see it. Transients skip
+        # the extra row — their slot recycles.
+        max_useful = max(
+            (r.gen.max_new_tokens - len(r.output) - inflight
+             + (1 if (r.pin_slot is not None or r.append) else 0)
+             for r in self.active.values()),
+            default=0,
+        )
+        if max_useful <= 0:
+            # everything still needed is already in flight: flush it
+            # (finishes the wave) instead of dispatching dead rows
+            self._drain(all_remaining=True)
+            self.engine.stats.decode_time += time.perf_counter() - t0
+            return
         ms = k if (k and k > 1 and self._multi_step_ready(k)) else None
+        if ms and ms > max_useful:
+            # shrink to the largest precompiled (power-of-two) block
+            # that is still fully useful
+            ms = 1 << (max_useful.bit_length() - 1)
+            if ms <= 1:
+                ms = None
         self._decode_dispatch(k_steps=ms)
         self._drain()
         self.engine.stats.decode_time += time.perf_counter() - t0
@@ -816,6 +851,7 @@ class ContinuousBatchingScheduler:
             # discard rules apply)
             self._pending_tokens.append(first)
             self._pending_slots.append(("first", slot, req.id))
+            self._pending_rows.append(0)
         self._first_token.clear()
 
     def _emit(self, req: Request, tok: int) -> bool:
@@ -881,6 +917,7 @@ class ContinuousBatchingScheduler:
         ):
             toks = np.asarray(self._pending_tokens.popleft())
             owners = self._pending_slots.popleft()
+            self._pending_rows.popleft()
             if isinstance(owners, tuple) and owners[0] == "first":
                 _, slot, req_id = owners
                 req = self.active.get(slot)

@@ -137,7 +137,9 @@ def test_precompile_counts_and_serves(tiny_engine):
     # (one per power-of-two G in [2, max_batch]); per window: two decode
     # t/p layouts
     n_groups = max(0, eng.max_batch.bit_length() - 1)
-    assert n == (2 + n_groups) * len(eng.buckets) + 2 * len(windows)
+    # + n_groups grouped first-token samplers (warmed on the first
+    # bucket only; logits shape is bucket-independent)
+    assert n == (2 + n_groups) * len(eng.buckets) + n_groups + 2 * len(windows)
     assert len(seen) == n
     # engine still serves normally afterwards (no buffer was donated)
     out = eng.generate([[4, 5, 6]], GenerationConfig(max_new_tokens=3,

@@ -749,3 +749,43 @@ def test_grouped_admission_mixed_buckets_fall_back(engine):
     assert small.output == engine.generate([[1, 2]], _greedy(4))[0]
     assert big.output == engine.generate([list(range(1, 30))],
                                          _greedy(4))[0]
+
+
+def test_dispatch_budget_prunes_dead_blocks():
+    """A synchronized wave of length-capped transients must not keep
+    dispatching fully wasted rows while it finishes: total dispatched
+    decode rows stays within one block of max_new_tokens (round-5
+    saturation fix), and outputs are unchanged."""
+    from mlc_llm_tpu.engine import GenerationConfig, InferenceEngine
+    from mlc_llm_tpu.engine.scheduler import ContinuousBatchingScheduler
+    from mlc_llm_tpu.models import get_config, init_random_params
+
+    cfg = get_config("tiny-llama")
+    params = init_random_params(cfg, "f32", seed=0)
+    eng = InferenceEngine(cfg, params, max_batch=4, max_seq_len=64)
+    sched = ContinuousBatchingScheduler(eng, multi_step=4, decode_ahead=2)
+    rows = []
+    orig_k, orig_1 = eng._decode_sample_k, eng._decode_sample
+
+    def spy_k(*a, **kw):
+        rows.append(kw.get("k_steps", 4))
+        return orig_k(*a, **kw)
+
+    def spy_1(*a, **kw):
+        rows.append(1)
+        return orig_1(*a, **kw)
+
+    eng._decode_sample_k, eng._decode_sample = spy_k, spy_1
+    try:
+        gen = GenerationConfig(max_new_tokens=8, temperature=0.0)
+        reqs = [sched.submit([i + 1, i + 2, i + 3], gen) for i in range(4)]
+        sched.run()
+    finally:
+        eng._decode_sample_k, eng._decode_sample = orig_k, orig_1
+    assert all(r.done and len(r.output) == 8 for r in reqs)
+    # first token comes from prefill; 7 more decode rows needed. Allow
+    # one block of slack for the adaptive gate, but the old behavior
+    # (ahead extra K-blocks at the tail = 8+ dead rows) must not return
+    assert sum(rows) <= 8 + 4, rows
+    for p, r in zip([[1, 2, 3], [2, 3, 4], [3, 4, 5], [4, 5, 6]], reqs):
+        assert r.output == eng.generate([p], gen)[0]
