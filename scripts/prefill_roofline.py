@@ -111,7 +111,11 @@ def main():
     from mlc_llm_tpu.models import (
         forward, get_config, init_kv_cache, init_random_params,
     )
-    from mlc_llm_tpu.ops.pallas import dequant_matmul as dm
+    # the package __init__ re-exports a FUNCTION named dequant_matmul
+    # that shadows the submodule — resolve the module explicitly
+    import importlib
+
+    dm = importlib.import_module("mlc_llm_tpu.ops.pallas.dequant_matmul")
     from mlc_llm_tpu.quant.groupwise import QuantizedTensor as _QT
     from mlc_llm_tpu.quant.groupwise import pad_quantized_groups as _pad
     from mlc_llm_tpu.quant.spec import resolve_spec
