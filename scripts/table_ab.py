@@ -75,8 +75,12 @@ def run_visit(table_path: str, n_short=8, n_long=72, tiny=False, batch=1):
     if tiny:
         n_short, n_long = 2, 6
     context_len = 128
+    # batch>1 shrinks the cache like bench.py's b8 section: a 2048-row
+    # cache at b8 is 8.6 GB of KV next to 4.3 GB of weights and the
+    # visit OOMs HBM (19.99/15.75 GB, tpu_logs/b8_table_ab_r5b.log)
     cache = init_kv_cache(cfg, batch=batch,
-                          max_len=min(cfg.max_seq_len, 2048))
+                          max_len=min(cfg.max_seq_len,
+                                      2048 if batch == 1 else 512))
 
     @partial(jax.jit, donate_argnames=("cache",), static_argnames=("window",))
     def decode_n(params, tok, cache, key, n, window=None):
