@@ -599,6 +599,16 @@ def _run():
                 return rng_s.integers(10, 1000, size=128).tolist()
 
             warm = [sched.submit(_mk(), gen_s) for _ in range(8)]
+            sched.run()
+            # second, STAGGERED warm: a full batch only executes the
+            # G=8 grouped-admission and K=max block programs; the first
+            # mid-load G=2/4 clump or partial-K block otherwise pays
+            # its first-execution setup inside the measured window
+            # (observed as 0.5-2 s TTFT stragglers)
+            w2 = [sched.submit(_mk(), gen_s) for _ in range(2)]
+            for _ in range(3):
+                sched.step()
+            w2 += [sched.submit(_mk(), gen_s) for _ in range(4)]
             sched.run()  # compile every program OUTSIDE the timed window
             n_req, lam = 32, 8.0
             arrivals = np.cumsum(rng_s.exponential(1.0 / lam, size=n_req))

@@ -111,6 +111,14 @@ def main():
     warm = [sched.submit(mk_prompt(), gen) for _ in range(8)]
     sched.run()
     assert all(r.done for r in warm)
+    # staggered warm: execute (not just AOT-compile) the partial-G
+    # grouped admissions and partial-K blocks a mid-load clump hits
+    w2 = [sched.submit(mk_prompt(), gen) for _ in range(2)]
+    for _ in range(3):
+        sched.step()
+    w2 += [sched.submit(mk_prompt(), gen) for _ in range(4)]
+    sched.run()
+    assert all(r.done for r in w2)
 
     rates = args.rates
     if rates is None:
